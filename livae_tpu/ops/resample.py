@@ -1,0 +1,250 @@
+"""Shared bilinear resampling kernel — the hot op of the whole framework.
+
+Every rotation/translation/scaling in the pipeline bottoms out here:
+
+* the STN canonicalization (reference: src/livae/model.py:254-258),
+* the rVAE inverse rotation (reference: src/livae/model.py:464-470),
+* the canonical-frame training target (reference: src/livae/train.py:670-677),
+* patch sub-pixel recentering and augmentation in the data pipeline
+  (reference: src/livae/data.py:226-248, 524-551, 680-713).
+
+The reference reaches these through PyTorch's C++/CUDA `F.affine_grid` +
+`F.grid_sample` and torchvision's affine ops. Here the same semantics
+(`align_corners=False`; zeros / border / reflection padding) are implemented
+as pure XLA gather + lerp so they fuse into the surrounding jitted graph, and
+the convention-critical boundary math (coordinate unnormalization and
+reflection) matches PyTorch's grid sampler exactly — validated by
+differential tests against torch CPU in tests/test_resample.py.
+
+Layout convention: images are NHWC `[B, H, W, C]` (TPU-native), grids are
+`[B, Ho, Wo, 2]` with the last axis ordered (x, y) in [-1, 1] normalized
+coordinates, identical to `F.affine_grid` output.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "affine_grid",
+    "grid_sample",
+    "sample_at_pixels",
+    "rotation_matrix",
+    "rotate_image",
+    "center_crop",
+    "upsample2x_bilinear",
+]
+
+
+def rotation_matrix(cos_theta: jax.Array, sin_theta: jax.Array) -> jax.Array:
+    """Build the 2x3 pure-rotation affine matrix [B, 2, 3] from cos/sin [B].
+
+    Matches the reference STN's matrix layout (src/livae/model.py:220-235):
+    row0 = [cos, -sin, 0], row1 = [sin, cos, 0].
+    """
+    cos_theta = cos_theta.reshape(-1)
+    sin_theta = sin_theta.reshape(-1)
+    zeros = jnp.zeros_like(cos_theta)
+    row1 = jnp.stack([cos_theta, -sin_theta, zeros], axis=-1)
+    row2 = jnp.stack([sin_theta, cos_theta, zeros], axis=-1)
+    return jnp.stack([row1, row2], axis=1)
+
+
+def affine_grid(theta: jax.Array, size: tuple[int, int], batch: int | None = None) -> jax.Array:
+    """Normalized sampling grid for a batch of 2x3 affine matrices.
+
+    Equivalent to `F.affine_grid(theta, (B, C, H, W), align_corners=False)`:
+    base coordinates are pixel centers x = (2j + 1)/W - 1, y = (2i + 1)/H - 1,
+    and the output grid is `theta @ [x, y, 1]`.
+
+    Args:
+        theta: [B, 2, 3] affine matrices (output-coord -> input-coord).
+        size: (H, W) of the output grid.
+
+    Returns:
+        grid: [B, H, W, 2] with (x, y) normalized input coordinates.
+    """
+    H, W = size
+    if batch is None:
+        batch = theta.shape[0]
+    x = (2.0 * jnp.arange(W, dtype=jnp.float32) + 1.0) / W - 1.0
+    y = (2.0 * jnp.arange(H, dtype=jnp.float32) + 1.0) / H - 1.0
+    xx = jnp.broadcast_to(x[None, :], (H, W))[None]  # [1, H, W]
+    yy = jnp.broadcast_to(y[:, None], (H, W))[None]
+    t = theta.astype(jnp.float32)
+    # Elementwise multiply-add on the VPU (exact f32) rather than einsum,
+    # which XLA would route through the MXU at reduced precision.
+    gx = t[:, 0, 0, None, None] * xx + t[:, 0, 1, None, None] * yy + t[:, 0, 2, None, None]
+    gy = t[:, 1, 0, None, None] * xx + t[:, 1, 1, None, None] * yy + t[:, 1, 2, None, None]
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def _reflect_coordinates(coord: jax.Array, size: int) -> jax.Array:
+    """PyTorch reflect for align_corners=False: reflect about -0.5, size-0.5.
+
+    Port of ATen's `reflect_coordinates(in, -1, 2*size - 1)` semantics.
+    """
+    if size == 1:
+        return jnp.zeros_like(coord)
+    span = jnp.float32(size)
+    c = jnp.abs(coord + 0.5)
+    extra = jnp.mod(c, span)
+    flips = jnp.floor(c / span)
+    even = jnp.mod(flips, 2.0) == 0.0
+    return jnp.where(even, extra - 0.5, span - extra - 0.5)
+
+
+def sample_at_pixels(
+    img: jax.Array,
+    ix: jax.Array,
+    iy: jax.Array,
+    padding_mode: str = "zeros",
+) -> jax.Array:
+    """Bilinear-sample `img` at unnormalized pixel coordinates.
+
+    This is the core gather+lerp shared by `grid_sample`, the data-pipeline
+    patch extractor, and (eventually) a fused Pallas kernel. Semantics match
+    torch's grid sampler after unnormalization: zeros padding masks
+    out-of-bounds corners; border clamps; reflection reflects then clamps.
+
+    Args:
+        img: [B, H, W, C] input images.
+        ix, iy: [B, ...] pixel-space sample coordinates (x = column, y = row).
+        padding_mode: "zeros" | "border" | "reflection".
+
+    Returns:
+        [B, ..., C] sampled values.
+    """
+    B, H, W, C = img.shape
+    out_shape = ix.shape[1:]
+    ix = ix.reshape(B, -1).astype(jnp.float32)
+    iy = iy.reshape(B, -1).astype(jnp.float32)
+
+    if padding_mode == "reflection":
+        ix = jnp.clip(_reflect_coordinates(ix, W), 0.0, W - 1)
+        iy = jnp.clip(_reflect_coordinates(iy, H), 0.0, H - 1)
+    elif padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, W - 1)
+        iy = jnp.clip(iy, 0.0, H - 1)
+    elif padding_mode != "zeros":
+        raise ValueError(f"Unknown padding_mode: {padding_mode}")
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = ix - x0
+    wx0 = 1.0 - wx1
+    wy1 = iy - y0
+    wy0 = 1.0 - wy1
+
+    def corner(xc, yc, wx, wy):
+        if padding_mode == "zeros":
+            valid = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)
+            w = jnp.where(valid, wx * wy, 0.0)
+        else:
+            w = wx * wy
+        xi = jnp.clip(xc, 0.0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0.0, H - 1).astype(jnp.int32)
+        flat_idx = yi * W + xi  # [B, N]
+        vals = jnp.take_along_axis(
+            img.reshape(B, H * W, C), flat_idx[:, :, None], axis=1
+        )  # [B, N, C]
+        return vals * w[:, :, None]
+
+    out = (
+        corner(x0, y0, wx0, wy0)
+        + corner(x1, y0, wx1, wy0)
+        + corner(x0, y1, wx0, wy1)
+        + corner(x1, y1, wx1, wy1)
+    )
+    return out.reshape((B,) + out_shape + (C,))
+
+
+def grid_sample(
+    img: jax.Array,
+    grid: jax.Array,
+    padding_mode: str = "zeros",
+) -> jax.Array:
+    """Bilinear grid sample with align_corners=False, NHWC layout.
+
+    Drop-in semantic equivalent of
+    `F.grid_sample(x, grid, mode="bilinear", padding_mode=..., align_corners=False)`
+    (reference usage: src/livae/model.py:256-258, 468-470) with NHWC images.
+
+    Args:
+        img: [B, H, W, C].
+        grid: [B, Ho, Wo, 2], last axis (x, y) in [-1, 1].
+    """
+    B, H, W, C = img.shape
+    ix = ((grid[..., 0] + 1.0) * W - 1.0) / 2.0
+    iy = ((grid[..., 1] + 1.0) * H - 1.0) / 2.0
+    return sample_at_pixels(img, ix, iy, padding_mode)
+
+
+def rotate_image(
+    img: jax.Array,
+    theta: jax.Array,
+    padding_mode: str = "reflection",
+) -> jax.Array:
+    """Rotate a batch of NHWC images via the STN matrix convention.
+
+    Equivalent to the reference's affine_grid(rotation_matrix(theta)) +
+    grid_sample composite (src/livae/model.py:464-470): the sampling grid is
+    rotated by `theta`, so the image content rotates by `-theta`.
+
+    theta: [B] or [B, 1] angles in radians.
+    """
+    theta = theta.reshape(-1)
+    mat = rotation_matrix(jnp.cos(theta), jnp.sin(theta))
+    grid = affine_grid(mat, img.shape[1:3])
+    return grid_sample(img, grid, padding_mode=padding_mode)
+
+
+def center_crop(img: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Center-crop NHWC (or HWC / HW) images to (h, w).
+
+    Matches torchvision's `center_crop` offset convention
+    (crop_top = round((H - h) / 2)) for even/odd sizes; zero-pads if the
+    requested size exceeds the input (reference usage: src/livae/data.py:243).
+    """
+    h, w = size
+    H, W = img.shape[-3], img.shape[-2]
+    if img.ndim == 2:
+        H, W = img.shape
+    pad_h = max(0, h - H)
+    pad_w = max(0, w - W)
+    if pad_h or pad_w:
+        # torchvision pads [left, top, right, bottom] with floor on left/top
+        pads = [
+            (pad_h // 2, pad_h - pad_h // 2),
+            (pad_w // 2, pad_w - pad_w // 2),
+        ]
+        if img.ndim == 2:
+            img = jnp.pad(img, pads)
+        elif img.ndim == 3:
+            img = jnp.pad(img, pads + [(0, 0)])
+        else:
+            img = jnp.pad(img, [(0, 0)] + pads + [(0, 0)])
+        H, W = H + pad_h, W + pad_w
+    top = int(round((H - h) / 2.0))
+    left = int(round((W - w) / 2.0))
+    if img.ndim == 2:
+        return img[top : top + h, left : left + w]
+    if img.ndim == 3:
+        return img[top : top + h, left : left + w, :]
+    return img[:, top : top + h, left : left + w, :]
+
+
+def upsample2x_bilinear(x: jax.Array) -> jax.Array:
+    """2x bilinear upsample, align_corners=False, NHWC.
+
+    Equivalent to `nn.Upsample(scale_factor=2, mode="bilinear",
+    align_corners=False)` (reference: src/livae/model.py:357-369).
+    `jax.image.resize(method="linear")` uses the same half-pixel-center
+    convention as torch's align_corners=False.
+    """
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="linear")
