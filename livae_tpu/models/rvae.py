@@ -1,0 +1,174 @@
+"""Rotationally-invariant VAE (rVAE) model family (TPU-native Flax, NHWC).
+
+Capability parity with the reference's rVAE (reference:
+src/livae/model.py:185-472):
+
+* RotationSTN — localization net (2x [Conv5x5 + MaxPool2] -> Dense(32) ->
+  Dense(2)) predicting an unnormalized [cos, sin], normalized to the unit
+  circle, applied as a rotation grid-sample with reflection padding; the
+  final layer init is N(0, 0.01) with zero bias (model.py:217-218).
+* Encoder — STN canonicalization, then the shared 4-conv trunk ->
+  (mu, logvar, theta).
+* Decoder — fc -> 4x [bilinear upsample x2 + ReflectionPad(1) + Conv3x3]
+  -> Sigmoid (checkerboard-free upsampling, model.py:355-373).
+* RVAE — encode -> reparameterize -> decode canonical recon -> inverse
+  rotation; forward returns (rotated_recon, recon, theta, mu, logvar).
+
+The rotation resample is the shared livae_tpu.ops.resample kernel (exact
+PyTorch grid_sample semantics), so STN behavior matches the reference's
+C++/CUDA sampler.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resample import affine_grid, grid_sample, rotation_matrix, upsample2x_bilinear
+from .layers import Conv, Dense, max_pool_2x2, reflection_pad_1
+from .vae import ENCODER_WIDTHS, reparameterize
+
+__all__ = ["RotationSTN", "Encoder", "Decoder", "RVAE"]
+
+
+def _stn_head_kernel_init(key, shape, dtype=jnp.float32):
+    """N(0, 0.01) init of the [cos, sin] head (reference: model.py:217)."""
+    return 0.01 * jax.random.normal(key, shape, dtype)
+
+
+class RotationSTN(nn.Module):
+    """Spatial transformer predicting and applying a canonicalizing rotation.
+
+    Reference: src/livae/model.py:185-262. Returns (x_rotated, theta) where
+    theta = atan2(sin, cos) of the normalized prediction.
+    """
+
+    patch_size: int = 64
+    in_channels: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        h = Conv(16, kernel_size=5, stride=1, padding=2, name="loc_conv0")(x)
+        h = nn.relu(h)
+        h = max_pool_2x2(h)
+        h = Conv(32, kernel_size=5, stride=1, padding=2, name="loc_conv1")(h)
+        h = nn.relu(h)
+        h = max_pool_2x2(h)
+        h = h.reshape(h.shape[0], -1)
+        h = Dense(32, name="loc_fc0")(h)
+        h = nn.relu(h)
+        vec = nn.Dense(
+            2,
+            kernel_init=_stn_head_kernel_init,
+            bias_init=nn.initializers.zeros,
+            name="loc_fc1",
+        )(h)
+
+        # Normalize to the unit circle (F.normalize eps=1e-6, model.py:245)
+        norm = jnp.linalg.norm(vec, axis=1, keepdims=True)
+        vec = vec / jnp.maximum(norm, 1e-6)
+        cos_theta = vec[:, 0]
+        sin_theta = vec[:, 1]
+
+        mat = rotation_matrix(cos_theta, sin_theta)
+        grid = affine_grid(mat, x.shape[1:3])
+        x_rotated = grid_sample(x, grid, padding_mode="reflection")
+
+        theta = jnp.arctan2(sin_theta, cos_theta)[:, None]  # [B, 1]
+        return x_rotated, theta
+
+    @staticmethod
+    def get_rotation_matrix(theta: jax.Array) -> jax.Array:
+        """2x3 rotation matrix from an angle tensor (reference: model.py:220-235)."""
+        theta = theta.reshape(-1)
+        return rotation_matrix(jnp.cos(theta), jnp.sin(theta))
+
+
+class Encoder(nn.Module):
+    """STN canonicalization + conv trunk -> (mu, logvar, theta).
+
+    Reference: src/livae/model.py:265-326.
+    """
+
+    latent_dim: int = 10
+    patch_size: int = 64
+    in_channels: int = 1
+
+    def setup(self):
+        self.rotation_stn = RotationSTN(self.patch_size, self.in_channels)
+        self._convs = [
+            Conv(w, kernel_size=4, stride=2, padding=1, name=f"conv{i}")
+            for i, w in enumerate(ENCODER_WIDTHS)
+        ]
+        self.fc_mu = Dense(self.latent_dim, name="fc_mu")
+        self.fc_logvar = Dense(self.latent_dim, name="fc_logvar")
+
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+        x_rotated, theta = self.rotation_stn(x)
+        h = x_rotated
+        for conv in self._convs:
+            h = nn.relu(conv(h))
+        h = h.reshape(h.shape[0], -1)
+        return self.fc_mu(h), self.fc_logvar(h), theta
+
+
+class Decoder(nn.Module):
+    """Upsample+conv decoder (no checkerboard artifacts).
+
+    Reference: src/livae/model.py:329-388.
+    """
+
+    latent_dim: int = 10
+    out_channels: int = 1
+    patch_size: int = 64
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        side = self.patch_size // 16
+        h = Dense(256 * side * side, name="fc")(z)
+        h = nn.relu(h)
+        h = h.reshape(h.shape[0], side, side, 256)
+        widths = (128, 64, 32, self.out_channels)
+        for i, width in enumerate(widths):
+            h = upsample2x_bilinear(h)
+            h = reflection_pad_1(h)
+            h = Conv(width, kernel_size=3, stride=1, padding=0, name=f"up_conv{i}")(h)
+            if i < len(widths) - 1:
+                h = nn.relu(h)
+        return nn.sigmoid(h)
+
+
+class RVAE(nn.Module):
+    """rVAE; forward returns (rotated_recon, recon, theta, mu, logvar).
+
+    Reference: src/livae/model.py:391-472. The canonical reconstruction is
+    rotated back by -theta through the shared resampler (model.py:464-470).
+    """
+
+    latent_dim: int = 10
+    in_channels: int = 1
+    patch_size: int = 64
+
+    def setup(self):
+        self.encoder = Encoder(self.latent_dim, self.patch_size, self.in_channels)
+        self.decoder = Decoder(self.latent_dim, self.in_channels, self.patch_size)
+
+    def __call__(
+        self, x: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+        mu, logvar, theta = self.encoder(x)
+        z = reparameterize(self.make_rng("sample"), mu, logvar)
+        recon = self.decoder(z)
+
+        inverse_theta = -theta
+        mat = RotationSTN.get_rotation_matrix(inverse_theta)
+        grid = affine_grid(mat, recon.shape[1:3])
+        rotated_recon = grid_sample(recon, grid, padding_mode="reflection")
+        return rotated_recon, recon, theta, mu, logvar
+
+    def encode(self, x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+        return self.encoder(x)
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        return self.decoder(z)
