@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.resample import affine_grid, grid_sample, rotation_matrix, upsample2x_bilinear
+from ..ops.resample import (
+    affine_grid,
+    grid_sample,
+    rotate_image_fast,
+    rotation_matrix,
+    upsample2x_bilinear,
+)
 from .layers import Conv, Dense, max_pool_2x2, reflection_pad_1
 from .vae import ENCODER_WIDTHS, reparameterize
 
@@ -42,10 +48,15 @@ class RotationSTN(nn.Module):
 
     Reference: src/livae/model.py:185-262. Returns (x_rotated, theta) where
     theta = atan2(sin, cos) of the normalized prediction.
+
+    fast_resample selects the gather-free 3-shear rotation (13x faster on
+    TPU, boundary-identical in the interior) over the exact torch-parity
+    bilinear gather; see livae_tpu.ops.resample.
     """
 
     patch_size: int = 64
     in_channels: int = 1
+    fast_resample: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -71,11 +82,13 @@ class RotationSTN(nn.Module):
         cos_theta = vec[:, 0]
         sin_theta = vec[:, 1]
 
-        mat = rotation_matrix(cos_theta, sin_theta)
-        grid = affine_grid(mat, x.shape[1:3])
-        x_rotated = grid_sample(x, grid, padding_mode="reflection")
-
         theta = jnp.arctan2(sin_theta, cos_theta)[:, None]  # [B, 1]
+        if self.fast_resample:
+            x_rotated = rotate_image_fast(x, theta, padding_mode="reflection")
+        else:
+            mat = rotation_matrix(cos_theta, sin_theta)
+            grid = affine_grid(mat, x.shape[1:3])
+            x_rotated = grid_sample(x, grid, padding_mode="reflection")
         return x_rotated, theta
 
     @staticmethod
@@ -94,9 +107,12 @@ class Encoder(nn.Module):
     latent_dim: int = 10
     patch_size: int = 64
     in_channels: int = 1
+    fast_resample: bool = True
 
     def setup(self):
-        self.rotation_stn = RotationSTN(self.patch_size, self.in_channels)
+        self.rotation_stn = RotationSTN(
+            self.patch_size, self.in_channels, self.fast_resample
+        )
         self._convs = [
             Conv(w, kernel_size=4, stride=2, padding=1, name=f"conv{i}")
             for i, w in enumerate(ENCODER_WIDTHS)
@@ -149,9 +165,12 @@ class RVAE(nn.Module):
     latent_dim: int = 10
     in_channels: int = 1
     patch_size: int = 64
+    fast_resample: bool = True
 
     def setup(self):
-        self.encoder = Encoder(self.latent_dim, self.patch_size, self.in_channels)
+        self.encoder = Encoder(
+            self.latent_dim, self.patch_size, self.in_channels, self.fast_resample
+        )
         self.decoder = Decoder(self.latent_dim, self.in_channels, self.patch_size)
 
     def __call__(
@@ -162,9 +181,14 @@ class RVAE(nn.Module):
         recon = self.decoder(z)
 
         inverse_theta = -theta
-        mat = RotationSTN.get_rotation_matrix(inverse_theta)
-        grid = affine_grid(mat, recon.shape[1:3])
-        rotated_recon = grid_sample(recon, grid, padding_mode="reflection")
+        if self.fast_resample:
+            rotated_recon = rotate_image_fast(
+                recon, inverse_theta, padding_mode="reflection"
+            )
+        else:
+            mat = RotationSTN.get_rotation_matrix(inverse_theta)
+            grid = affine_grid(mat, recon.shape[1:3])
+            rotated_recon = grid_sample(recon, grid, padding_mode="reflection")
         return rotated_recon, recon, theta, mu, logvar
 
     def encode(self, x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:

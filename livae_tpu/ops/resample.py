@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "affine_grid",
@@ -32,6 +33,7 @@ __all__ = [
     "sample_at_pixels",
     "rotation_matrix",
     "rotate_image",
+    "rotate_image_fast",
     "center_crop",
     "upsample2x_bilinear",
 ]
@@ -201,6 +203,126 @@ def rotate_image(
     mat = rotation_matrix(jnp.cos(theta), jnp.sin(theta))
     grid = affine_grid(mat, img.shape[1:3])
     return grid_sample(img, grid, padding_mode=padding_mode)
+
+
+# ---------------------------------------------------------------------------
+# Gather-free fast rotation (Paeth 3-shear decomposition)
+#
+# XLA's elementwise gather is ~30x slower than vector ops on TPU (measured:
+# 405 ms fwd for a [512,128,128,1] grid_sample vs ~36 ms for the whole conv
+# trunk). Rotation decomposes into three axis-aligned shears
+# R(t) = Sx(-tan(t/2)) . Sy(sin t) . Sx(-tan(t/2)), and a shear is a
+# per-row/per-column 1-D fractional shift, which TPUs execute as static
+# rolls + selects (pure VPU, no gather). Angles are first reduced to
+# [-45deg, 45deg] by exact 90-degree rotations (pixel permutations).
+#
+# This matches `rotate_image` semantics (same grid convention, same
+# reflection/zeros boundary via pre-padding) up to the interpolation scheme:
+# three 1-D lerps instead of one 2-D bilinear lerp. Differential tests bound
+# the difference; use `rotate_image` where exact torch parity is required
+# (golden tests), `rotate_image_fast` in the training hot path.
+# ---------------------------------------------------------------------------
+
+
+def _logroll_gather(x: jax.Array, k: jax.Array, axis: int) -> jax.Array:
+    """out[..., i, ...] = x[..., (i + k) mod n, ...] for k CONSTANT along `axis`.
+
+    k: int32, broadcastable to x's shape with size 1 along `axis`.
+    Implemented as log2(n) static rolls + selects (butterfly gather):
+    correctness requires k to not vary along the rolled axis.
+    """
+    n = x.shape[axis]
+    k = jnp.mod(k, n)
+    nbits = max(1, int(np.ceil(np.log2(n))))
+    cur = x
+    for t in range(nbits):
+        step = 1 << t
+        if step >= n:
+            break
+        cand = jnp.roll(cur, -step, axis=axis)
+        bit = (k >> t) & 1
+        cur = jnp.where(bit.astype(bool), cand, cur)
+    return cur
+
+
+def _fractional_shift(x: jax.Array, delta: jax.Array, axis: int) -> jax.Array:
+    """out[..., i, ...] = lerp(x[i + floor(d)], x[i + floor(d) + 1], frac(d)).
+
+    delta: float shift, constant along `axis` (size-1 there). Gradient w.r.t.
+    delta flows through the fractional lerp, exactly like bilinear sampling.
+    """
+    k = jnp.floor(delta)
+    f = delta - jax.lax.stop_gradient(k)
+    g0 = _logroll_gather(x, jax.lax.stop_gradient(k).astype(jnp.int32), axis)
+    g1 = jnp.roll(g0, -1, axis=axis)
+    return (1.0 - f) * g0 + f * g1
+
+
+def _rot90_select(img: jax.Array, q: jax.Array) -> jax.Array:
+    """Per-sample exact rotation of the SAMPLING GRID by q*90deg (q in 0..3).
+
+    Matches img[R(q*pi/2) @ dest] for square NHWC images: pixel centers map
+    to pixel centers under align_corners=False, so this is a permutation.
+    R(90): source=(−y, x) -> out[y, x] = img[x, S-1-y].
+    """
+    # r1[y, x] = img[x, S-1-y]
+    r1 = jnp.flip(jnp.swapaxes(img, 1, 2), axis=1)
+    r2 = jnp.flip(jnp.flip(img, axis=1), axis=2)
+    r3 = jnp.flip(jnp.swapaxes(img, 1, 2), axis=2)
+    q = jnp.mod(q.reshape(-1), 4)[:, None, None, None]
+    out = jnp.where(q == 1, r1, img)
+    out = jnp.where(q == 2, r2, out)
+    out = jnp.where(q == 3, r3, out)
+    return out
+
+
+def rotate_image_fast(
+    img: jax.Array,
+    theta: jax.Array,
+    padding_mode: str = "reflection",
+    margin: int | None = None,
+) -> jax.Array:
+    """Gather-free equivalent of `rotate_image` (STN grid convention).
+
+    img: [B, H, W, C] with H == W. theta: [B] or [B, 1] radians.
+    margin: padding absorbing boundary excursions; default S // 4 (validated
+    to keep wraparound out of the output in tests/test_resample.py).
+    """
+    B, H, W, C = img.shape
+    if H != W:
+        raise ValueError("rotate_image_fast requires square images")
+    S = H
+    theta = theta.reshape(-1).astype(jnp.float32)
+
+    # Reduce to |phi| <= pi/4 via exact 90-degree grid rotations.
+    q = jnp.round(theta / (jnp.pi / 2.0))
+    phi = theta - q * (jnp.pi / 2.0)
+    img = _rot90_select(img, q.astype(jnp.int32))
+
+    if margin is None:
+        margin = S // 4
+    pad_mode = {"reflection": "reflect", "border": "edge", "zeros": "constant"}[
+        padding_mode
+    ]
+    img = jnp.pad(
+        img, ((0, 0), (margin, margin), (margin, margin), (0, 0)), mode=pad_mode
+    )
+    P = S + 2 * margin
+    c = (P - 1) / 2.0
+
+    alpha = -jnp.tan(phi / 2.0)[:, None, None, None]  # [B,1,1,1]
+    beta = jnp.sin(phi)[:, None, None, None]
+
+    rows = (jnp.arange(P, dtype=jnp.float32) - c)[None, :, None, None]  # [1,P,1,1]
+    cols = (jnp.arange(P, dtype=jnp.float32) - c)[None, None, :, None]  # [1,1,P,1]
+
+    # Sx: out[y, x] = in[y, x + alpha*(y - c)] — shift along W, constant per row
+    out = _fractional_shift(img, alpha * rows, axis=2)
+    # Sy: out[y, x] = in[y + beta*(x - c), x] — shift along H, constant per col
+    out = _fractional_shift(out, beta * cols, axis=1)
+    out = _fractional_shift(out, alpha * rows, axis=2)
+
+    return out[:, margin : margin + S, margin : margin + S, :]
 
 
 def center_crop(img: jax.Array, size: tuple[int, int]) -> jax.Array:

@@ -114,7 +114,8 @@ class TestTorchParity:
         spec = rvae_spec(patch_size, latent_dim)
         params = torch_state_to_params(tmodel.state_dict(), spec)
 
-        jmodel = RVAE(latent_dim=latent_dim, patch_size=patch_size)
+        # exact resampler for bitwise torch parity
+        jmodel = RVAE(latent_dim=latent_dim, patch_size=patch_size, fast_resample=False)
         x = rng.random((4, patch_size, patch_size, 1)).astype(np.float32)
 
         # encoder (STN + trunk) parity: mu, logvar, theta
