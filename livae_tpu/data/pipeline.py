@@ -1,0 +1,306 @@
+"""Jitted on-device patch extraction + augmentation pipeline.
+
+This replaces the reference's DataLoader-worker model (reference:
+scripts/train_rvae.py:77-95 — 8 worker processes doing per-patch
+torchvision affine/rotate/crop on host) with a fully device-resident
+design: whole preprocessed frames live in HBM, and a single jitted
+function slices, sub-pixel-recenters, augments, and normalizes an entire
+batch of patches per train step. No host<->device traffic per batch.
+
+Gather-free by construction (XLA elementwise gather is ~30x slower than
+vector ops on TPU, see ops/resample.py):
+
+* ROI crop: batched `lax.dynamic_slice` from zero-padded frames.
+* scale + sub-pixel translate: separable per-axis affine resample using
+  row-gathers (fast path) — exactly bilinear for pure translation, so the
+  validation/encode path (transform=None) matches the reference's
+  TF.affine bilinear recentering (reference: src/livae/data.py:524-542).
+* rotation: the 3-shear `rotate_image_fast`.
+* flips / integer jitter: static flips + log-roll shifts.
+
+Augmentation distributions mirror the reference's `default_transform`
+(reference: src/livae/data.py:78-116): scale U(0.9, 1.1), rotation
+U(0, 360) deg, h/v flips p=0.5, integer roll jitter U{-4..4}.
+
+Paired-rotation semantics: `rotated = rotate(patch, +angle)` in the STN
+grid convention, which yields theta_rotated = theta_original - angle —
+the relation the reference's cycle-consistency loss assumes
+(reference: src/livae/loss.py:52-94, data.py:697-707).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resample import _fractional_shift, _logroll_gather, rotate_image_fast
+
+__all__ = ["AugmentConfig", "extract_batch", "extract_batch_paired", "pad_frames"]
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Static augmentation configuration (hashable for jit)."""
+
+    scale_min: float = 0.9
+    scale_max: float = 1.1
+    flip_prob: float = 0.5
+    jitter: int = 4
+    rotation: bool = False
+
+    def __call__(self, *a, **k):  # pragma: no cover
+        raise TypeError(
+            "AugmentConfig is a jit-static config consumed by extract_batch, "
+            "not a host-side callable; pass it as the dataset's transform."
+        )
+
+
+def pad_frames(frames: jax.Array, margin: int) -> jax.Array:
+    """Zero-pad [N, H, W] frames so ROI slices never clamp at borders.
+
+    Matches the reference's zero-padding of edge ROIs
+    (src/livae/data.py:506-522).
+    """
+    return jnp.pad(frames, ((0, 0), (margin, margin), (margin, margin)))
+
+
+def _axis_resample(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
+    """1-D bilinear resample along `axis` at per-sample source coords.
+
+    x: [B, H, W]; src: [B, n_out] float source indices along `axis`
+    (identical for all positions of the other axis — separable affine).
+    Uses row-gathers (take_along_axis with a size-1 trailing broadcast),
+    the fast gather formulation on TPU.
+    """
+    n = x.shape[axis]
+    i0 = jnp.floor(src)
+    f = src - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = i0 + 1
+    valid0 = (i0 >= 0) & (i0 <= n - 1)
+    valid1 = (i1 >= 0) & (i1 <= n - 1)
+    i0c = jnp.clip(i0, 0, n - 1)
+    i1c = jnp.clip(i1, 0, n - 1)
+
+    if axis == 1:
+        g0 = jnp.take_along_axis(x, i0c[:, :, None], axis=1)
+        g1 = jnp.take_along_axis(x, i1c[:, :, None], axis=1)
+        w0 = (jnp.where(valid0, 1.0 - f, 0.0))[:, :, None]
+        w1 = (jnp.where(valid1, f, 0.0))[:, :, None]
+    elif axis == 2:
+        g0 = jnp.take_along_axis(x, i0c[:, None, :], axis=2)
+        g1 = jnp.take_along_axis(x, i1c[:, None, :], axis=2)
+        w0 = (jnp.where(valid0, 1.0 - f, 0.0))[:, None, :]
+        w1 = (jnp.where(valid1, f, 0.0))[:, None, :]
+    else:  # pragma: no cover
+        raise ValueError(axis)
+    return g0 * w0 + g1 * w1
+
+
+def _crop_rois(
+    frames_padded: jax.Array,
+    img_idx: jax.Array,
+    cy: jax.Array,
+    cx: jax.Array,
+    roi: int,
+    margin: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched integer ROI crop around rounded centers.
+
+    Returns (rois [B, roi, roi], ry, rx): the sub-pixel center position
+    inside each ROI.
+    """
+    y_int = jnp.round(cy).astype(jnp.int32)
+    x_int = jnp.round(cx).astype(jnp.int32)
+    y0 = y_int - roi // 2 + margin
+    x0 = x_int - roi // 2 + margin
+
+    def one(i, y, x):
+        return jax.lax.dynamic_slice(
+            frames_padded, (i, y, x), (1, roi, roi)
+        )[0]
+
+    rois = jax.vmap(one)(img_idx, y0, x0)
+    ry = cy - (y_int - roi // 2).astype(cy.dtype)
+    rx = cx - (x_int - roi // 2).astype(cx.dtype)
+    return rois, ry, rx
+
+
+def _minmax_normalize(p: jax.Array) -> jax.Array:
+    """Per-patch min-max to [0, 1]; constant patch -> zeros.
+
+    Reference: src/livae/data.py:553-558.
+    """
+    mn = jnp.min(p, axis=(1, 2), keepdims=True)
+    mx = jnp.max(p, axis=(1, 2), keepdims=True)
+    rng_ = mx - mn
+    return jnp.where(rng_ > 0, (p - mn) / jnp.where(rng_ > 0, rng_, 1.0), 0.0)
+
+
+def _scale_translate(
+    rois: jax.Array, ry: jax.Array, rx: jax.Array, out_size: int, scale: jax.Array
+) -> jax.Array:
+    """Separable resample: output grid of `out_size`, atom at out_size/2,
+    scaled by `scale` about the atom center.
+
+    For scale == 1 this is exactly the reference's bilinear recentering
+    translate (pure translation is separable-bilinear-exact).
+    """
+    B = rois.shape[0]
+    c_out = out_size / 2.0  # reference convention: atom lands at index P/2
+    grid = jnp.arange(out_size, dtype=jnp.float32)[None, :]  # [1, n]
+    src_y = (grid - c_out) / scale[:, None] + ry[:, None]
+    src_x = (grid - c_out) / scale[:, None] + rx[:, None]
+    out = _axis_resample(rois, src_y, axis=1)
+    out = _axis_resample(out, src_x, axis=2)
+    return out
+
+
+def _flips_and_jitter(
+    p: jax.Array, flip_h: jax.Array, flip_v: jax.Array, jy: jax.Array, jx: jax.Array
+) -> jax.Array:
+    """Per-sample h/v flips then integer roll jitter (torch.roll semantics).
+
+    Reference: src/livae/data.py:105-114.
+    """
+    fh = flip_h[:, None, None]
+    fv = flip_v[:, None, None]
+    p = jnp.where(fh, jnp.flip(p, axis=2), p)
+    p = jnp.where(fv, jnp.flip(p, axis=1), p)
+    # torch.roll(shifts=(jy, jx)): out[i] = in[i - jy] -> logroll by -jy
+    p = _logroll_gather(p, (-jy)[:, None, None], axis=1)
+    p = _logroll_gather(p, (-jx)[:, None, None], axis=2)
+    return p
+
+
+def _sample_aug(key: jax.Array, B: int, cfg: AugmentConfig):
+    ks, ka, kh, kv, kjy, kjx = jax.random.split(key, 6)
+    scale = jax.random.uniform(ks, (B,), minval=cfg.scale_min, maxval=cfg.scale_max)
+    angle = jax.random.uniform(ka, (B,), minval=0.0, maxval=2 * jnp.pi)
+    flip_h = jax.random.uniform(kh, (B,)) < cfg.flip_prob
+    flip_v = jax.random.uniform(kv, (B,)) < cfg.flip_prob
+    jy = jax.random.randint(kjy, (B,), -cfg.jitter, cfg.jitter + 1)
+    jx = jax.random.randint(kjx, (B,), -cfg.jitter, cfg.jitter + 1)
+    return scale, angle, flip_h, flip_v, jy, jx
+
+
+def _center_crop_b(p: jax.Array, size: int) -> jax.Array:
+    R = p.shape[1]
+    top = int(round((R - size) / 2.0))
+    return p[:, top : top + size, top : top + size]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("patch_size", "padding", "cfg", "normalize", "margin"),
+)
+def extract_batch(
+    frames_padded: jax.Array,
+    img_idx: jax.Array,
+    centers: jax.Array,
+    key: jax.Array | None,
+    patch_size: int,
+    padding: int = 48,
+    cfg: AugmentConfig | None = None,
+    normalize: bool = True,
+    margin: int | None = None,
+) -> jax.Array:
+    """Extract an augmented batch of patches, fully on device.
+
+    Args:
+        frames_padded: [N, H+2m, W+2m] zero-padded preprocessed frames.
+        img_idx: [B] int frame index per site.
+        centers: [B, 2] float (y, x) site centers in ORIGINAL frame coords.
+        key: PRNG key for augmentation (None or cfg=None -> no augmentation,
+            the reference's transform=None encode path).
+        patch_size, padding: as in the reference datasets.
+        normalize: per-patch min-max (AdaptiveLatticeDataset semantics).
+        margin: the frame pad margin (defaults to the standard roi//2+8).
+
+    Returns:
+        [B, patch_size, patch_size, 1] float32 patches.
+    """
+    P2 = patch_size + 2 * padding
+    roi = P2 + 16
+    if margin is None:
+        margin = roi // 2 + 8
+    B = img_idx.shape[0]
+    cy, cx = centers[:, 0], centers[:, 1]
+
+    rois, ry, rx = _crop_rois(frames_padded, img_idx, cy, cx, roi, margin)
+
+    if cfg is not None and key is not None:
+        scale, angle, flip_h, flip_v, jy, jx = _sample_aug(key, B, cfg)
+    else:
+        scale = jnp.ones((B,))
+        angle = jnp.zeros((B,))
+        flip_h = flip_v = jnp.zeros((B,), bool)
+        jy = jx = jnp.zeros((B,), jnp.int32)
+
+    p = _scale_translate(rois, ry, rx, P2, scale)
+
+    if cfg is not None and cfg.rotation:
+        p = rotate_image_fast(p[..., None], angle, padding_mode="zeros")[..., 0]
+
+    if cfg is not None:
+        p = _flips_and_jitter(p, flip_h, flip_v, jy, jx)
+
+    p = _center_crop_b(p, patch_size)
+    if normalize:
+        p = _minmax_normalize(p)
+    return p[..., None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("patch_size", "padding", "cfg", "margin"),
+)
+def extract_batch_paired(
+    frames_padded: jax.Array,
+    img_idx: jax.Array,
+    centers: jax.Array,
+    key: jax.Array,
+    patch_size: int,
+    padding: int = 48,
+    cfg: AugmentConfig | None = AugmentConfig(),
+    margin: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Paired extraction: (patch, rotated_patch, angle_rad).
+
+    Mirrors PairedAdaptiveLatticeDataset (reference: src/livae/data.py:
+    616-735): non-rotation transforms on the padded patch, one random
+    angle U(0, 2pi), rotation applied to a padded copy, both center-cropped
+    and independently min-max normalized.
+    """
+    P2 = patch_size + 2 * padding
+    roi = P2 + 16
+    if margin is None:
+        margin = roi // 2 + 8
+    B = img_idx.shape[0]
+    cy, cx = centers[:, 0], centers[:, 1]
+
+    rois, ry, rx = _crop_rois(frames_padded, img_idx, cy, cx, roi, margin)
+
+    kaug, kangle = jax.random.split(key)
+    if cfg is not None:
+        scale, _, flip_h, flip_v, jy, jx = _sample_aug(kaug, B, cfg)
+    else:
+        scale = jnp.ones((B,))
+        flip_h = flip_v = jnp.zeros((B,), bool)
+        jy = jx = jnp.zeros((B,), jnp.int32)
+
+    p_big = _scale_translate(rois, ry, rx, P2, scale)
+    if cfg is not None:
+        p_big = _flips_and_jitter(p_big, flip_h, flip_v, jy, jx)
+
+    angle = jax.random.uniform(kangle, (B,), minval=0.0, maxval=2 * jnp.pi)
+    # +angle in the STN grid convention => theta_rot = theta_orig - angle,
+    # the relation cycle_consistency_loss expects.
+    rot_big = rotate_image_fast(p_big[..., None], angle, padding_mode="zeros")[..., 0]
+
+    patch = _minmax_normalize(_center_crop_b(p_big, patch_size))[..., None]
+    rotated = _minmax_normalize(_center_crop_b(rot_big, patch_size))[..., None]
+    return patch, rotated, angle

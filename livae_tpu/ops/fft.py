@@ -106,6 +106,36 @@ def _bandpass(array: jax.Array, low_cutoff: float, high_cutoff: float) -> jax.Ar
     return _masked_fft_filter(array, mask)
 
 
+def host_bandpass_normalize(image, low_cutoff: float = 20.0, high_cutoff: float = 100.0):
+    """Host (scipy) bandpass+normalize for dataset-build preprocessing.
+
+    Numerically identical to bandpass_filter+normalize_image but runs on
+    host numpy: dataset build needs the result host-side for peak
+    detection, and a device round trip wastes tunnel bandwidth + first-jit
+    warmup. Device training paths use the jnp filters.
+    """
+    import numpy as _np
+    from scipy import fft as _sfft
+
+    if high_cutoff <= low_cutoff:
+        raise ValueError("high_cutoff must be greater than low_cutoff")
+    array = _np.asarray(image, dtype=_np.float64)
+    if array.ndim != 2:
+        raise ValueError(f"Expected a 2D array, got shape {array.shape}")
+    rows, cols = array.shape
+    cy, cx = rows // 2, cols // 2
+    y = _np.arange(rows)[:, None] - cy
+    x = _np.arange(cols)[None, :] - cx
+    r = _np.sqrt(x * x + y * y)
+    mask = (r >= low_cutoff) & (r <= high_cutoff)
+    f = _sfft.fftshift(_sfft.fft2(array))
+    out = _np.real(_sfft.ifft2(_sfft.ifftshift(f * mask)))
+    mn, ptp = out.min(), _np.ptp(out)
+    if ptp == 0.0:
+        return _np.zeros_like(out)
+    return (out - mn) / ptp
+
+
 def lowpass_filter(image, cutoff_radius: float) -> jax.Array:
     """Circular low-pass FFT filter (reference: src/livae/filter.py:111-145)."""
     return _lowpass(_as_float_image(image), float(cutoff_radius))

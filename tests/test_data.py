@@ -1,0 +1,197 @@
+"""Dataset + pipeline tests: indexing contracts, extraction correctness,
+augmentation distributions, paired-rotation semantics, HDF5 I/O.
+
+Ports the reference's indexing tests (reference test_dataset_indexing.py)
+onto synthetic frames and adds checks the reference lacks: the extracted
+patch is verifiably centered on the requested site, and the paired
+rotation satisfies the STN cycle relation.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from livae_tpu.data.datasets import (
+    AdaptiveLatticeDataset,
+    PairedAdaptiveLatticeDataset,
+    PatchDataset,
+    default_transform,
+)
+from livae_tpu.data.h5 import load_image_from_h5
+from livae_tpu.data.pipeline import AugmentConfig, extract_batch, pad_frames
+from livae_tpu.data.synthetic import save_frame_h5, synthetic_mos2_frame
+
+
+@pytest.fixture(scope="module")
+def frames():
+    f1, _ = synthetic_mos2_frame(size=512, spacing=40.0, seed=0)
+    f2, _ = synthetic_mos2_frame(size=512, spacing=40.0, seed=1, rotation_deg=20.0)
+    return [f1, f2]
+
+
+@pytest.fixture(scope="module")
+def adaptive_ds(frames):
+    return AdaptiveLatticeDataset(frames, patch_size=64, padding=16)
+
+
+class TestExtraction:
+    def test_patch_centered_on_site(self):
+        """A bright dot at the site center must land at pixel P2/2-crop."""
+        frame = np.zeros((256, 256), np.float32)
+        cy, cx = 130.3, 97.6
+        y, x = np.mgrid[:256, :256]
+        frame += np.exp(-((y - cy) ** 2 + (x - cx) ** 2) / (2 * 2.0**2))
+        fp = pad_frames(jnp.asarray(frame)[None], 64)
+        patch = extract_batch(
+            fp,
+            jnp.array([0]),
+            jnp.array([[cy, cx]], jnp.float32),
+            None,
+            patch_size=32,
+            padding=8,
+            cfg=None,
+            normalize=False,
+            margin=64,
+        )
+        p = np.asarray(patch[0, :, :, 0])
+        my, mx = np.unravel_index(p.argmax(), p.shape)
+        # atom center lands at index P/2 (reference convention)
+        assert abs(my - 16) <= 1 and abs(mx - 16) <= 1
+        # sub-pixel recentering: the 4 pixels around P/2 interpolate the peak
+        assert p.max() > 0.9
+
+    def test_edge_site_zero_padded(self):
+        frame = np.ones((128, 128), np.float32)
+        fp = pad_frames(jnp.asarray(frame)[None], 64)
+        patch = extract_batch(
+            fp, jnp.array([0]), jnp.array([[2.0, 2.0]], jnp.float32), None,
+            patch_size=32, padding=8, cfg=None, normalize=False, margin=64,
+        )
+        p = np.asarray(patch[0, :, :, 0])
+        assert p[0, 0] == 0.0  # outside the frame
+        assert p[20, 20] == 1.0  # inside
+
+    def test_normalization(self):
+        frame = np.random.default_rng(0).random((128, 128)).astype(np.float32) * 7 + 3
+        fp = pad_frames(jnp.asarray(frame)[None], 64)
+        patch = extract_batch(
+            fp, jnp.array([0]), jnp.array([[64.0, 64.0]], jnp.float32), None,
+            patch_size=32, padding=8, cfg=None, normalize=True, margin=64,
+        )
+        p = np.asarray(patch[0])
+        assert p.min() == pytest.approx(0.0) and p.max() == pytest.approx(1.0)
+
+
+class TestDatasets:
+    def test_lengths_and_indexing(self, adaptive_ds):
+        n = len(adaptive_ds)
+        assert n > 20
+        p0 = adaptive_ds[0]
+        plast = adaptive_ds[n - 1]
+        assert p0.shape == (64, 64, 1) and plast.shape == (64, 64, 1)
+        with pytest.raises(IndexError):
+            adaptive_ds[n]
+        with pytest.raises(IndexError):
+            adaptive_ds[-1]
+
+    def test_batch_sampling(self, adaptive_ds):
+        batch = adaptive_ds.sample_batch(jax.random.key(0), 16)
+        assert batch.shape == (16, 64, 64, 1)
+        b = np.asarray(batch)
+        assert np.isfinite(b).all()
+        assert b.min() >= 0.0 and b.max() <= 1.0
+
+    def test_iter_epoch_covers_dataset(self, adaptive_ds):
+        n = len(adaptive_ds)
+        batches = list(adaptive_ds.iter_epoch(jax.random.key(1), 8))
+        assert len(batches) == n // 8
+        assert all(b.shape == (8, 64, 64, 1) for b in batches)
+
+    def test_rejects_host_callable_transform(self, frames):
+        with pytest.raises(TypeError):
+            AdaptiveLatticeDataset(frames, 64, transform=lambda x: x)
+
+    def test_patch_dataset(self, frames):
+        ds = PatchDataset(frames, patch_size=64, padding=4)
+        assert len(ds) > 20
+        assert ds.transform.rotation is True  # reference uses rotation=True
+        batch = ds.sample_batch(jax.random.key(0), 4)
+        assert batch.shape == (4, 64, 64, 1)
+
+
+class TestPaired:
+    def test_paired_shapes_and_angle_range(self, frames):
+        ds = PairedAdaptiveLatticeDataset(frames, patch_size=64, padding=16)
+        patch, rotated, angle = ds.sample_batch(jax.random.key(0), 8)
+        assert patch.shape == rotated.shape == (8, 64, 64, 1)
+        a = np.asarray(angle)
+        assert np.all((a >= 0) & (a < 2 * np.pi))
+
+    def test_cycle_relation(self, frames):
+        """rotate(patch, +angle) must satisfy theta_rot = theta_orig - angle
+        under the STN's own sampler: rotating the ROTATED patch by -angle
+        must recover the original patch (up to interp error)."""
+        from livae_tpu.ops.resample import rotate_image_fast
+
+        ds = PairedAdaptiveLatticeDataset(
+            frames, patch_size=64, padding=16, transform=None
+        )
+        patch, rotated, angle = ds.batch_at(jnp.arange(4), jax.random.key(3))
+        # undo: rotate the rotated patch by -angle -> should match patch
+        undone = rotate_image_fast(rotated, -angle, padding_mode="zeros")
+        center_err = np.abs(
+            np.asarray(undone)[:, 24:40, 24:40] - np.asarray(patch)[:, 24:40, 24:40]
+        )
+        assert center_err.mean() < 0.12
+
+
+class TestAugmentDistributions:
+    def test_distributions_match_reference(self):
+        from livae_tpu.data.pipeline import _sample_aug
+
+        cfg = AugmentConfig()
+        scale, angle, fh, fv, jy, jx = _sample_aug(jax.random.key(0), 4096, cfg)
+        scale, angle, fh, fv, jy, jx = map(np.asarray, (scale, angle, fh, fv, jy, jx))
+        assert 0.9 <= scale.min() and scale.max() <= 1.1
+        assert abs(scale.mean() - 1.0) < 0.005
+        assert 0 <= angle.min() and angle.max() < 2 * np.pi
+        assert abs(fh.mean() - 0.5) < 0.05 and abs(fv.mean() - 0.5) < 0.05
+        assert jy.min() == -4 and jy.max() == 4  # inclusive randint like random.randint
+        assert set(np.unique(jx)) == set(range(-4, 5))
+
+
+class TestH5:
+    def test_roundtrip_reference_layout(self, tmp_path):
+        frame = np.random.default_rng(0).random((64, 64))
+        path = tmp_path / "test.h5"
+        save_frame_h5(path, frame)
+        loaded = load_image_from_h5(path)
+        np.testing.assert_array_equal(loaded, frame)
+        # exact dataset path
+        loaded2 = load_image_from_h5(path, "Measurement_000/Channel_000/HAADF/HAADF")
+        np.testing.assert_array_equal(loaded2, frame)
+        # basename search
+        loaded3 = load_image_from_h5(path, "HAADF")
+        np.testing.assert_array_equal(loaded3, frame)
+
+    def test_autodetect_prefers_named(self, tmp_path):
+        import h5py
+
+        path = tmp_path / "multi.h5"
+        small = np.ones((8, 8))
+        big = np.zeros((32, 32))
+        with h5py.File(path, "w") as f:
+            f.create_dataset("group/other", data=big)
+            f.create_dataset("group/image", data=small)
+        loaded = load_image_from_h5(path)
+        np.testing.assert_array_equal(loaded, small)  # preferred name wins
+
+    def test_no_2d_raises(self, tmp_path):
+        import h5py
+
+        path = tmp_path / "bad.h5"
+        with h5py.File(path, "w") as f:
+            f.create_dataset("x", data=np.zeros(5))
+        with pytest.raises(KeyError):
+            load_image_from_h5(path)
