@@ -1,0 +1,2 @@
+from .rvae import RVAE, Decoder, Encoder, RotationSTN
+from .vae import VAE, VAEDecoder, VAEEncoder

@@ -1,0 +1,1 @@
+from . import fft, lattice, peaks, resample

@@ -1,0 +1,525 @@
+"""Training/evaluation engine: jitted steps + host epoch loops.
+
+Capability parity with the reference training engine (reference:
+src/livae/train.py): the generic arity-dispatched train/eval loops
+(train.py:33-278), the rVAE paired loops with cycle consistency and
+canonical-frame loss (train.py:286-556), rotate_to_canonical
+(train.py:670-677), MetricLogger (train.py:559-573), the rotation-
+invariance evaluator (train.py:680-788), and the TensorBoard logging
+helpers (train.py:791-936) — same metric names, same tag schema.
+
+TPU-native execution model: each train/eval step is one jitted function
+(forward + loss + grad + clip + optimizer update + all device-side
+metrics). Per-batch metrics accumulate ON DEVICE into a single pytree;
+the host reads back once per epoch, so an epoch is a stream of async
+dispatches with a single sync point (critical given dispatch latency).
+
+Two reference bugs are fixed, not replicated (SURVEY.md §7):
+evaluate_rvae's last-batch-only averaging (train.py:521-541) and the
+theta[0, 1] indexing in evaluate_rotation_invariance (train.py:753).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses import rvae_loss, vae_loss
+from ..metrics import latent_stats, psnr, ssim
+from ..ops.resample import rotate_image_fast
+from .state import TrainState
+
+__all__ = [
+    "MetricLogger",
+    "rotate_to_canonical",
+    "make_train_step",
+    "make_rvae_train_step",
+    "make_eval_step",
+    "make_rvae_eval_step",
+    "train_one_epoch",
+    "evaluate",
+    "train_rvae_one_epoch",
+    "evaluate_rvae",
+    "evaluate_rotation_invariance",
+    "log_scalar_metrics_tensorboard",
+    "log_reconstructions_tensorboard",
+    "compute_psnr",
+    "compute_ssim",
+]
+
+# Re-exported for reference API parity (train.py also exports these)
+from ..metrics import compute_psnr, compute_ssim  # noqa: E402
+
+
+class MetricLogger:
+    """Dict-of-lists metric accumulator (reference train.py:559-573)."""
+
+    def __init__(self):
+        self.metrics = defaultdict(list)
+
+    def update(self, **kwargs):
+        for k, v in kwargs.items():
+            if hasattr(v, "item"):
+                v = v.item()
+            self.metrics[k].append(v)
+
+    def get_averages(self) -> dict[str, Any]:
+        return {k: float(np.mean(v)) for k, v in self.metrics.items()}
+
+    def reset(self):
+        self.metrics.clear()
+
+
+def rotate_to_canonical(x: jax.Array, theta: jax.Array) -> jax.Array:
+    """Rotate images to the canonical frame by the predicted angles.
+
+    Reference: src/livae/train.py:670-677 (grid built from +theta,
+    reflection padding) — the same operation the STN applies.
+    """
+    return rotate_image_fast(x, theta, padding_mode="reflection")
+
+
+def _clip_by_global_norm(grads, max_norm):
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads), jnp.minimum(gnorm, max_norm)
+
+
+def _common_metrics(recon, x, mu, logvar, theta):
+    ls = latent_stats(mu, logvar)
+    m = {
+        "psnr": psnr(recon, x),
+        "ssim": ssim(recon, x),
+        "latent_mean_abs": ls["latent_mean_abs"],
+        "latent_std": ls["latent_std_mean"],
+    }
+    if theta is not None:
+        m["rotation_std"] = jnp.std(theta, ddof=1)
+    return m
+
+
+def make_train_step(
+    model,
+    tx,
+    *,
+    beta_gamma_static: bool = False,
+    use_diversity: bool = False,
+    canonical_weight: float = 0.0,
+    grad_max_norm: float = 5.0,
+) -> Callable:
+    """Generic arity-dispatched train step (VAE or rVAE on unpaired data).
+
+    Mirrors reference train_one_epoch semantics (train.py:33-165): VAE
+    uses VAELoss; a 5-output model trains with the same mean-reduced
+    VAELoss on the rotated reconstruction (the Ray Tune trial path,
+    reference train_rvae_raytune.py:140-161), with optional diversity
+    rotation term when gamma > 0.
+
+    Returns jitted step(state, x, key, beta, gamma) -> (state, metrics).
+    """
+
+    def loss_fn(params, x, key, beta, gamma):
+        outputs = model.apply(params, x, rngs={"sample": key})
+        if len(outputs) == 3:
+            recon, mu, logvar = outputs
+            total, rl, kl = vae_loss(recon, x, mu, logvar, beta=1.0)
+            # beta is traced: recompose total with the traced weight
+            total = rl + beta * kl
+            aux = dict(recon=recon, canonical=None, theta=None, mu=mu, logvar=logvar,
+                       rl=rl, kl=kl, cyc=jnp.asarray(0.0), canon_l=jnp.asarray(0.0))
+        else:
+            rotated_recon, canonical, theta, mu, logvar = outputs
+            total, rl, kl = vae_loss(rotated_recon, x, mu, logvar, beta=1.0)
+            total = rl + beta * kl
+            cyc = jnp.asarray(0.0)
+            if use_diversity:
+                from ..losses import rotation_diversity_loss
+
+                cyc = rotation_diversity_loss(theta)
+                total = total + gamma * cyc
+            canon_l = jnp.asarray(0.0)
+            if canonical_weight > 0:
+                canonical_input = rotate_to_canonical(x, theta)
+                canon_l = jnp.mean((canonical - canonical_input) ** 2)
+                total = total + canonical_weight * canon_l
+            aux = dict(recon=rotated_recon, canonical=canonical, theta=theta, mu=mu,
+                       logvar=logvar, rl=rl, kl=kl, cyc=cyc, canon_l=canon_l)
+        return total, aux
+
+    @jax.jit
+    def step(state: TrainState, x, key, beta, gamma):
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x, key, beta, gamma
+        )
+        grads, gnorm = _clip_by_global_norm(grads, grad_max_norm)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+
+        metrics = {
+            "loss": total,
+            "recon_loss": aux["rl"],
+            "kld_loss": aux["kl"],
+            "cycle_loss": aux["cyc"],
+            "canonical_loss": aux["canon_l"],
+            "grad_norm": gnorm,
+        }
+        metrics.update(_common_metrics(aux["recon"], x, aux["mu"], aux["logvar"], aux["theta"]))
+        if aux["canonical"] is not None and canonical_weight > 0:
+            canonical_input = rotate_to_canonical(x, aux["theta"])
+            metrics["canonical_psnr"] = psnr(aux["canonical"], canonical_input)
+            metrics["canonical_ssim"] = ssim(aux["canonical"], canonical_input)
+        return new_state, metrics
+
+    return step
+
+
+def make_rvae_train_step(
+    model,
+    tx,
+    *,
+    use_diversity: bool = False,
+    canonical_weight: float = 0.2,
+    grad_max_norm: float = 20.0,
+) -> Callable:
+    """Paired rVAE train step with cycle consistency + canonical loss.
+
+    Mirrors reference train_rvae_one_epoch (train.py:286-445): full
+    forward on x, a second encoder pass on x_rotated for theta_rotated,
+    RVAELoss(beta, gamma) with cycle (or diversity) term, plus
+    canonical_weight * MSE(canonical_recon, rotate_to_canonical(x)).
+
+    Returns jitted step(state, x, x_rot, angle, key, beta, gamma).
+    """
+
+    def loss_fn(params, x, x_rot, angle, key, beta, gamma):
+        rotated_recon, canonical, theta, mu, logvar = model.apply(
+            params, x, rngs={"sample": key}
+        )
+        _, _, theta_rot = model.apply(params, x_rot, method="encode")
+        total, rl, kl, cyc = rvae_loss(
+            rotated_recon,
+            x,
+            mu,
+            logvar,
+            theta,
+            theta_rot,
+            angle,
+            beta=1.0,
+            gamma=1.0,
+            use_diversity=use_diversity,
+        )
+        total = rl + beta * kl + gamma * cyc
+        canonical_input = rotate_to_canonical(x, theta)
+        canon_l = jnp.mean((canonical - canonical_input) ** 2)
+        if canonical_weight > 0:
+            total = total + canonical_weight * canon_l
+        aux = dict(recon=rotated_recon, canonical=canonical, canonical_input=canonical_input,
+                   theta=theta, mu=mu, logvar=logvar, rl=rl, kl=kl, cyc=cyc, canon_l=canon_l)
+        return total, aux
+
+    @jax.jit
+    def step(state: TrainState, x, x_rot, angle, key, beta, gamma):
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x, x_rot, angle, key, beta, gamma
+        )
+        grads, gnorm = _clip_by_global_norm(grads, grad_max_norm)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+
+        metrics = {
+            "loss": total,
+            "recon_loss": aux["rl"],
+            "kld_loss": aux["kl"],
+            "cycle_loss": aux["cyc"],
+            "canonical_loss": aux["canon_l"],
+            "grad_norm": gnorm,
+            "canonical_psnr": psnr(aux["canonical"], aux["canonical_input"]),
+            "canonical_ssim": ssim(aux["canonical"], aux["canonical_input"]),
+        }
+        metrics.update(_common_metrics(aux["recon"], x, aux["mu"], aux["logvar"], aux["theta"]))
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model, *, use_diversity: bool = False, canonical_weight: float = 0.0):
+    """Generic eval step; mirrors reference evaluate (train.py:168-278)."""
+
+    @jax.jit
+    def step(params, x, key, beta, gamma):
+        outputs = model.apply(params, x, rngs={"sample": key})
+        if len(outputs) == 3:
+            recon, mu, logvar = outputs
+            theta = None
+            canonical = None
+        else:
+            recon, canonical, theta, mu, logvar = outputs
+        total, rl, kl = vae_loss(recon, x, mu, logvar, beta=1.0)
+        total = rl + beta * kl
+        cyc = jnp.asarray(0.0)
+        if use_diversity and theta is not None:
+            from ..losses import rotation_diversity_loss
+
+            cyc = rotation_diversity_loss(theta)
+            total = total + gamma * cyc
+        metrics = {"loss": total, "recon_loss": rl, "kld_loss": kl, "cycle_loss": cyc}
+        metrics.update(_common_metrics(recon, x, mu, logvar, theta))
+        if canonical is not None and canonical_weight > 0:
+            canonical_input = rotate_to_canonical(x, theta)
+            metrics["canonical_psnr"] = psnr(canonical, canonical_input)
+            metrics["canonical_ssim"] = ssim(canonical, canonical_input)
+        return metrics
+
+    return step
+
+
+def make_rvae_eval_step(model, *, use_diversity: bool = False, canonical_weight: float = 0.2):
+    """Paired rVAE eval step; mirrors evaluate_rvae (train.py:448-556) with
+    the per-batch averaging bug fixed (all batches count, not just the last).
+    """
+
+    @jax.jit
+    def step(params, x, x_rot, angle, key, beta, gamma):
+        rotated_recon, canonical, theta, mu, logvar = model.apply(
+            params, x, rngs={"sample": key}
+        )
+        _, _, theta_rot = model.apply(params, x_rot, method="encode")
+        total, rl, kl, cyc = rvae_loss(
+            rotated_recon, x, mu, logvar, theta, theta_rot, angle,
+            beta=1.0, gamma=1.0, use_diversity=use_diversity,
+        )
+        total = rl + beta * kl + gamma * cyc
+        canonical_input = rotate_to_canonical(x, theta)
+        canon_l = jnp.mean((canonical - canonical_input) ** 2)
+        if canonical_weight > 0:
+            total = total + canonical_weight * canon_l
+        metrics = {
+            "loss": total,
+            "recon_loss": rl,
+            "kld_loss": kl,
+            "cycle_loss": cyc,
+            "canonical_loss": canon_l,
+            "canonical_psnr": psnr(canonical, canonical_input),
+            "canonical_ssim": ssim(canonical, canonical_input),
+        }
+        metrics.update(_common_metrics(rotated_recon, x, mu, logvar, theta))
+        return metrics
+
+    return step
+
+
+def _accumulate_epoch(metric_dicts: list[dict]) -> dict[str, float]:
+    """Sum per-batch device metric dicts on device; one host readback."""
+    if not metric_dicts:
+        return {}
+    acc = metric_dicts[0]
+    for m in metric_dicts[1:]:
+        acc = jax.tree_util.tree_map(jnp.add, acc, m)
+    n = len(metric_dicts)
+    acc = jax.device_get(acc)
+    return {k: float(v) / n for k, v in acc.items()}
+
+
+def train_one_epoch(
+    step_fn,
+    state: TrainState,
+    batches: Iterable,
+    key: jax.Array,
+    metric_logger: MetricLogger,
+    beta: float = 1.0,
+    gamma: float = 0.0,
+    prefix: str = "train_",
+) -> TrainState:
+    """Generic epoch loop over unpaired batches (reference train.py:33-165)."""
+    collected = []
+    for i, x in enumerate(batches):
+        if isinstance(x, (list, tuple)):
+            x = x[0]
+        state, metrics = step_fn(state, x, jax.random.fold_in(key, i), beta, gamma)
+        collected.append(metrics)
+    metric_logger.update(**{prefix + k: v for k, v in _accumulate_epoch(collected).items()})
+    return state
+
+
+def evaluate(
+    eval_step_fn,
+    params,
+    batches: Iterable,
+    key: jax.Array,
+    metric_logger: MetricLogger,
+    beta: float = 1.0,
+    gamma: float = 0.0,
+    prefix: str = "val_",
+) -> dict[str, float]:
+    """Generic eval loop (reference train.py:168-278); no param mutation."""
+    collected = []
+    for i, x in enumerate(batches):
+        if isinstance(x, (list, tuple)):
+            x = x[0]
+        collected.append(eval_step_fn(params, x, jax.random.fold_in(key, i), beta, gamma))
+    avg = _accumulate_epoch(collected)
+    metric_logger.update(**{prefix + k: v for k, v in avg.items()})
+    return {prefix + k: v for k, v in avg.items()}
+
+
+def train_rvae_one_epoch(
+    step_fn,
+    state: TrainState,
+    paired_batches: Iterable,
+    key: jax.Array,
+    metric_logger: MetricLogger,
+    beta: float = 1.0,
+    gamma: float = 0.0,
+    prefix: str = "train_",
+) -> TrainState:
+    """Paired epoch loop (reference train.py:286-445)."""
+    collected = []
+    for i, (x, x_rot, angle) in enumerate(paired_batches):
+        state, metrics = step_fn(
+            state, x, x_rot, angle, jax.random.fold_in(key, i), beta, gamma
+        )
+        collected.append(metrics)
+    metric_logger.update(**{prefix + k: v for k, v in _accumulate_epoch(collected).items()})
+    return state
+
+
+def evaluate_rvae(
+    eval_step_fn,
+    params,
+    paired_batches: Iterable,
+    key: jax.Array,
+    metric_logger: MetricLogger,
+    beta: float = 1.0,
+    gamma: float = 0.0,
+    prefix: str = "val_",
+) -> dict[str, float]:
+    """Paired eval loop; all batches averaged (reference bug fixed)."""
+    collected = []
+    for i, (x, x_rot, angle) in enumerate(paired_batches):
+        collected.append(
+            eval_step_fn(params, x, x_rot, angle, jax.random.fold_in(key, i), beta, gamma)
+        )
+    avg = _accumulate_epoch(collected)
+    metric_logger.update(**{prefix + k: v for k, v in avg.items()})
+    return {prefix + k: v for k, v in avg.items()}
+
+
+def evaluate_rotation_invariance(
+    model,
+    params,
+    images: jax.Array,
+    angles: Iterable[float] = (0, 45, 90, 135, 180, 225, 270, 315),
+    key: jax.Array | None = None,
+) -> dict[str, float]:
+    """Rotate probes through fixed angles; measure latent/recon invariance.
+
+    Reference: src/livae/train.py:680-788, with the theta indexing bug
+    fixed (theta is [B, 1]; the reference indexed it as [B, 2] at
+    train.py:753).
+
+    Returns latent_variance (mean variance of mu across angles),
+    recon_rmse/psnr/ssim of un-rotated reconstructions vs the original,
+    and mean absolute angle prediction error (radians, circular).
+    """
+    if key is None:
+        key = jax.random.key(0)
+    images = jnp.asarray(images)
+    angles_rad = jnp.asarray([a * jnp.pi / 180.0 for a in angles], dtype=jnp.float32)
+
+    mus, recon_errs, psnrs, ssims, angle_errs = [], [], [], [], []
+    base_theta = None
+    for i, a in enumerate(angles_rad):
+        rotated = rotate_image_fast(images, jnp.full((images.shape[0],), a), "reflection")
+        rotated_recon, recon, theta, mu, logvar = model.apply(
+            params, rotated, rngs={"sample": jax.random.fold_in(key, i)}
+        )
+        # un-rotate the rotated reconstruction back to the original frame
+        unrotated = rotate_image_fast(rotated_recon, jnp.full((images.shape[0],), -a), "reflection")
+        mus.append(mu)
+        recon_errs.append(jnp.sqrt(jnp.mean((unrotated - images) ** 2)))
+        psnrs.append(psnr(unrotated, images))
+        ssims.append(ssim(unrotated, images))
+        if base_theta is None:
+            base_theta = theta
+        else:
+            # theta should decrease by the applied angle: theta_a ~ theta_0 - a
+            diff = (theta - base_theta)[:, 0] + a
+            angle_errs.append(jnp.mean(jnp.abs(jnp.arctan2(jnp.sin(diff), jnp.cos(diff)))))
+
+    mus = jnp.stack(mus)  # [A, B, D]
+    latent_variance = jnp.mean(jnp.var(mus, axis=0))
+    return {
+        "latent_variance": float(latent_variance),
+        "recon_rmse": float(jnp.mean(jnp.stack(recon_errs))),
+        "recon_psnr": float(jnp.mean(jnp.stack(psnrs))),
+        "recon_ssim": float(jnp.mean(jnp.stack(ssims))),
+        "angle_error": float(jnp.mean(jnp.stack(angle_errs))) if angle_errs else 0.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# TensorBoard logging (same tag schema as the reference, train.py:791-936)
+# ---------------------------------------------------------------------------
+
+def _make_grid(images: np.ndarray, nrow: int = 8, pad: int = 2) -> np.ndarray:
+    """torchvision.utils.make_grid equivalent for [N, H, W, 1] arrays -> [H', W']."""
+    n, h, w = images.shape[0], images.shape[1], images.shape[2]
+    ncol = min(nrow, n)
+    nr = -(-n // ncol)
+    grid = np.zeros((nr * (h + pad) + pad, ncol * (w + pad) + pad), dtype=np.float32)
+    for i in range(n):
+        r, c = divmod(i, ncol)
+        y0, x0 = pad + r * (h + pad), pad + c * (w + pad)
+        grid[y0 : y0 + h, x0 : x0 + w] = images[i, :, :, 0]
+    return grid
+
+
+def log_reconstructions_tensorboard(
+    writer,
+    x: jax.Array,
+    recon: jax.Array,
+    epoch: int,
+    tag: str = "reconstructions",
+    max_images: int = 8,
+    canonical: jax.Array | None = None,
+    canonical_input: jax.Array | None = None,
+) -> None:
+    """[original | reconstruction | abs diff] grids (+ canonical triplets).
+
+    Reference: src/livae/train.py:791-853.
+    """
+    x = np.asarray(x[:max_images])
+    recon = np.asarray(recon[:max_images])
+    diff = np.abs(x - recon)
+    grid = np.concatenate(
+        [_make_grid(x, max_images), _make_grid(recon, max_images), _make_grid(diff, max_images)],
+        axis=0,
+    )
+    writer.add_image(tag, grid[None, :, :], epoch)
+    if canonical is not None and canonical_input is not None:
+        c = np.asarray(canonical[:max_images])
+        ci = np.asarray(canonical_input[:max_images])
+        cgrid = np.concatenate(
+            [_make_grid(ci, max_images), _make_grid(c, max_images),
+             _make_grid(np.abs(ci - c), max_images)],
+            axis=0,
+        )
+        writer.add_image(f"{tag}_canonical", cgrid[None, :, :], epoch)
+
+
+def log_scalar_metrics_tensorboard(writer, metrics: dict[str, float], epoch: int) -> None:
+    """train_x -> train/x, val_x -> val/x tags (reference train.py:928-936)."""
+    for key, value in metrics.items():
+        if key.startswith("train_"):
+            writer.add_scalar(f"train/{key[6:]}", value, epoch)
+        elif key.startswith("val_"):
+            writer.add_scalar(f"val/{key[4:]}", value, epoch)
+        else:
+            writer.add_scalar(key, value, epoch)

@@ -97,6 +97,23 @@ def rvae_spec(patch_size: int, latent_dim: int) -> list[tuple]:
     return spec
 
 
+def stn_spec(patch_size: int) -> list[tuple]:
+    """RotationSTN-only spec, rooted at the STN subtree.
+
+    Produces the reference's pretrain_stn checkpoint layout
+    {"rotation_stn": {"localization.N.weight"/".bias"}}
+    (reference: scripts/pretrain_stn.py:154-160, loaded at
+    scripts/train_rvae.py:172-182).
+    """
+    q = patch_size // 4
+    return [
+        (("loc_conv0", "conv"), "localization.0", "conv", None),
+        (("loc_conv1", "conv"), "localization.3", "conv", None),
+        (("loc_fc0", "dense"), "localization.7", "linear_flat_in", (32, q, q)),
+        (("loc_fc1",), "localization.9", "linear", None),
+    ]
+
+
 def _get(tree: dict, path: tuple):
     node = tree
     for p in path:
@@ -194,9 +211,9 @@ def _to_torch_tensors(obj: Any) -> Any:
     if isinstance(obj, dict):
         return {k: _to_torch_tensors(v) for k, v in obj.items()}
     if isinstance(obj, np.ndarray):
-        return torch.from_numpy(np.ascontiguousarray(obj))
+        return torch.from_numpy(np.ascontiguousarray(obj).copy())
     if hasattr(obj, "dtype") and hasattr(obj, "shape"):  # jax array
-        return torch.from_numpy(np.ascontiguousarray(np.asarray(obj)))
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(obj)).copy())
     return obj
 
 

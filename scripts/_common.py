@@ -1,0 +1,76 @@
+"""Shared CLI plumbing for the training scripts.
+
+Data resolution mirrors the reference scripts (default data/*.h5, optional
+--dataset-name path inside the files; reference scripts/train_rvae.py:27-65)
+with one addition: because the reference repo's HAADF .h5 files are git-LFS
+blobs missing from the snapshot, `--synthetic N` generates ground-truthed
+synthetic MoS2 frames instead (livae_tpu.data.synthetic).
+"""
+
+from __future__ import annotations
+
+import glob
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from livae_tpu.data.h5 import load_image_from_h5  # noqa: E402
+from livae_tpu.data.synthetic import synthetic_mos2_frame  # noqa: E402
+
+
+def resolve_images(args) -> list[np.ndarray]:
+    """Load frames from --data h5 paths, data/*.h5, or --synthetic."""
+    if getattr(args, "synthetic", 0):
+        size = getattr(args, "synthetic_size", 1024)
+        print(f"Generating {args.synthetic} synthetic MoS2 frames ({size}x{size})...")
+        return [
+            synthetic_mos2_frame(size=size, spacing=40.0, seed=s)[0]
+            for s in range(args.synthetic)
+        ]
+    paths = args.data if args.data else sorted(glob.glob("data/*.h5"))
+    if not paths:
+        raise SystemExit(
+            "No input data: pass --data <files.h5> or --synthetic N "
+            "(the reference's HAADF .h5 files are not shipped)"
+        )
+    print(f"Loading {len(paths)} HDF5 frames...")
+    return [load_image_from_h5(p, getattr(args, "dataset_name", None)) for p in paths]
+
+
+def add_data_flags(parser) -> None:
+    parser.add_argument("--data", nargs="*", help="Paths to H5 files (default: data/*.h5)")
+    parser.add_argument(
+        "--dataset-name",
+        type=str,
+        default=None,
+        help="Dataset path inside H5 file; auto-detects a 2D dataset if omitted",
+    )
+    parser.add_argument(
+        "--synthetic",
+        type=int,
+        default=0,
+        help="Generate N synthetic MoS2 frames instead of loading .h5 data",
+    )
+    parser.add_argument(
+        "--synthetic-size", type=int, default=1024, help="Synthetic frame size"
+    )
+
+
+def split_indices(n: int, val_split: float, seed: int = 0):
+    """Deterministic train/val index split (reference uses random_split 10%)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_val = max(1, int(n * val_split))
+    return perm[n_val:], perm[:n_val]
+
+
+def batched(indices: np.ndarray, batch_size: int, drop_last: bool = True):
+    n = len(indices)
+    stop = n - (n % batch_size) if drop_last else n
+    for i in range(0, max(stop, 0), batch_size):
+        yield indices[i : i + batch_size]
+    if not drop_last and stop < n:
+        yield indices[stop:]

@@ -1,0 +1,285 @@
+#!/usr/bin/env python
+"""Train the rotationally-invariant VAE (rVAE) on atom patches — TPU-native.
+
+CLI parity with the reference entry point (reference:
+scripts/train_rvae.py — same flag names and defaults: patch 128, padding
+32, batch 512, latent 16, epochs 50, lr 1e-3, beta 10, gamma 10, AdamW
+weight-decay 1e-5, CosineAnnealingLR, beta-annealing warmup 5 + ramp 15,
+--stn-checkpoint / --freeze-stn / --stn-lr, best + _final checkpoints).
+Torch-only knobs (--num-workers, --prefetch-factor, --compile, --no-amp,
+--cpu) are accepted and ignored with a note, so existing launch commands
+run unchanged.
+
+TPU-native execution: paired batches are extracted by the jitted device
+pipeline; each optimizer step is one jitted function; checkpoints are
+written in the reference's torch.save layout so the reference's viz
+scripts load them directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from _common import add_data_flags, batched, resolve_images, split_indices
+
+from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset, default_transform
+from livae_tpu.models.rvae import RVAE
+from livae_tpu.train.engine import (
+    MetricLogger,
+    evaluate_rvae,
+    log_reconstructions_tensorboard,
+    log_scalar_metrics_tensorboard,
+    make_rvae_eval_step,
+    make_rvae_train_step,
+    train_rvae_one_epoch,
+)
+from livae_tpu.train.state import (
+    TrainState,
+    beta_at_epoch,
+    cosine_annealing,
+    make_optimizer,
+)
+from livae_tpu.utils.checkpoint import (
+    load_checkpoint,
+    rvae_spec,
+    save_reference_checkpoint,
+    stn_spec,
+    torch_state_to_params,
+)
+
+
+def run_training(args) -> dict:
+    images = resolve_images(args)
+
+    print("Building paired adaptive-lattice dataset...")
+    dataset = PairedAdaptiveLatticeDataset(
+        images,
+        patch_size=args.patch_size,
+        padding=args.padding,
+        transform=default_transform,
+    )
+    n = len(dataset)
+    train_idx, val_idx = split_indices(n, args.val_split, seed=args.seed)
+    print(f"Dataset: {n} sites ({len(train_idx)} train / {len(val_idx)} val)")
+
+    model = RVAE(
+        latent_dim=args.latent_dim,
+        patch_size=args.patch_size,
+        fast_resample=not args.exact_resample,
+    )
+    key = jax.random.key(args.seed)
+    key, init_key, sample_key = jax.random.split(key, 3)
+    x0 = jnp.zeros((1, args.patch_size, args.patch_size, 1))
+    params = model.init({"params": init_key, "sample": sample_key}, x0)
+    n_params = sum(int(p.size) for p in jax.tree.leaves(params))
+    print(f"RVAE: {n_params / 1e6:.2f}M parameters")
+
+    # Optional pretrained STN (reference train_rvae.py:172-182)
+    if args.stn_checkpoint:
+        ckpt = load_checkpoint(args.stn_checkpoint)
+        stn_params = torch_state_to_params(
+            ckpt["rotation_stn"], stn_spec(args.patch_size)
+        )["params"]
+        params["params"]["encoder"]["rotation_stn"] = stn_params
+        print(f"Loaded pretrained STN from {args.stn_checkpoint}")
+
+    steps_per_epoch = max(1, len(train_idx) // args.batch_size)
+    schedule = cosine_annealing(args.lr, args.epochs * steps_per_epoch)
+    stn_lr = None
+    if args.stn_lr is not None:
+        stn_lr = cosine_annealing(args.stn_lr, args.epochs * steps_per_epoch)
+    tx = make_optimizer(
+        schedule,
+        optimizer="adamw",
+        weight_decay=args.weight_decay,
+        stn_learning_rate=stn_lr,
+        freeze_stn=args.freeze_stn,
+        params=params if (stn_lr is not None or args.freeze_stn) else None,
+    )
+    state = TrainState.create(params, tx)
+
+    grad_max_norm = args.grad_max_norm if args.grad_max_norm is not None else 20.0
+    train_step = make_rvae_train_step(
+        model,
+        tx,
+        use_diversity=args.use_diversity_loss,
+        canonical_weight=args.canonical_weight,
+        grad_max_norm=grad_max_norm,
+    )
+    eval_step = make_rvae_eval_step(
+        model,
+        use_diversity=args.use_diversity_loss,
+        canonical_weight=args.canonical_weight,
+    )
+
+    writer = None
+    if not args.no_tensorboard:
+        from tensorboardX import SummaryWriter
+
+        log_dir = Path(args.log_dir) / datetime.now().strftime("%Y%m%d-%H%M%S")
+        writer = SummaryWriter(str(log_dir))
+        print(f"TensorBoard logs: {log_dir}")
+
+    ckpt_args = {k: v for k, v in vars(args).items() if not k.startswith("_")}
+    best_val = float("inf")
+    history = MetricLogger()
+    total_patches = 0
+    t_start = time.time()
+
+    for epoch in range(args.epochs):
+        beta = beta_at_epoch(
+            epoch,
+            args.beta,
+            anneal=args.beta_annealing,
+            warmup_epochs=args.beta_warmup_epochs,
+            ramp_epochs=args.beta_annealing_epochs,
+        )
+        key, ek, vk, bk = jax.random.split(key, 4)
+
+        epoch_logger = MetricLogger()
+        t0 = time.time()
+        train_batches = (
+            dataset.batch_at(chunk, jax.random.fold_in(bk, i))
+            for i, chunk in enumerate(batched(train_idx, args.batch_size))
+        )
+        state = train_rvae_one_epoch(
+            train_step, state, train_batches, ek, epoch_logger,
+            beta=beta, gamma=args.gamma,
+        )
+        train_time = time.time() - t0
+        total_patches += steps_per_epoch * args.batch_size
+
+        val_batches = (
+            dataset.batch_at(chunk, jax.random.fold_in(vk, 10_000 + i))
+            for i, chunk in enumerate(batched(val_idx, min(args.batch_size, len(val_idx))))
+        )
+        val_metrics = evaluate_rvae(
+            eval_step, state.params, val_batches, vk, epoch_logger,
+            beta=beta, gamma=args.gamma,
+        )
+
+        metrics = epoch_logger.get_averages()
+        history.update(**metrics)
+        pps = steps_per_epoch * args.batch_size / train_time
+        print(
+            f"Epoch {epoch + 1}/{args.epochs} | "
+            f"train {metrics.get('train_loss', float('nan')):.4f} | "
+            f"val {metrics.get('val_loss', float('nan')):.4f} | "
+            f"recon {metrics.get('val_recon_loss', float('nan')):.4f} | "
+            f"kld {metrics.get('val_kld_loss', float('nan')):.4f} | "
+            f"cycle {metrics.get('val_cycle_loss', float('nan')):.4f} | "
+            f"rot_std {metrics.get('train_rotation_std', float('nan')):.3f} | "
+            f"beta {beta:.3f} | {pps:.0f} patches/s"
+        )
+
+        if writer is not None:
+            log_scalar_metrics_tensorboard(writer, metrics, epoch)
+            writer.add_scalar("train/beta", beta, epoch)
+            writer.add_scalar("train/patches_per_sec", pps, epoch)
+            if (epoch + 1) % args.vis_every == 0:
+                key, pk, wk = jax.random.split(key, 3)
+                x, x_rot, _ = dataset.batch_at(val_idx[: args.vis_samples], pk)
+                rotated_recon, canonical, theta, _, _ = model.apply(
+                    state.params, x, rngs={"sample": wk}
+                )
+                from livae_tpu.train.engine import rotate_to_canonical
+
+                log_reconstructions_tensorboard(
+                    writer, x, rotated_recon, epoch,
+                    canonical=canonical,
+                    canonical_input=rotate_to_canonical(x, theta),
+                )
+
+        val_loss = val_metrics.get("val_loss", float("inf"))
+        if val_loss < best_val:
+            best_val = val_loss
+            save_reference_checkpoint(
+                args.checkpoint,
+                state.params,
+                rvae_spec(args.patch_size, args.latent_dim),
+                epoch=epoch,
+                best_val=best_val,
+                args=ckpt_args,
+            )
+            print(f"  -> saved best checkpoint ({args.checkpoint})")
+
+    # Failsafe final checkpoint (reference train_rvae.py:303-317)
+    final_path = str(Path(args.checkpoint).with_suffix("")) + "_final.pt"
+    save_reference_checkpoint(
+        final_path,
+        state.params,
+        rvae_spec(args.patch_size, args.latent_dim),
+        epoch=args.epochs - 1,
+        best_val=best_val,
+        args=ckpt_args,
+    )
+    wall = time.time() - t_start
+    print(
+        f"Done in {wall:.0f}s | best val {best_val:.4f} | "
+        f"{total_patches / wall:.0f} train patches/sec overall"
+    )
+    if writer is not None:
+        writer.close()
+    return {"best_val": best_val, "history": history.get_averages(), "state": state}
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Train rotationally-invariant VAE on STEM atom patches (TPU)"
+    )
+    add_data_flags(parser)
+    parser.add_argument("--patch-size", type=int, default=128)
+    parser.add_argument("--padding", type=int, default=32)
+    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--val-split", type=float, default=0.1)
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--weight-decay", type=float, default=1e-5)
+    parser.add_argument("--latent-dim", type=int, default=16)
+    parser.add_argument("--beta", type=float, default=10.0)
+    parser.add_argument("--gamma", type=float, default=10.0)
+    parser.add_argument("--use-diversity-loss", action="store_true")
+    parser.add_argument("--beta-annealing", action="store_true")
+    parser.add_argument("--beta-warmup-epochs", type=int, default=5)
+    parser.add_argument("--beta-annealing-epochs", type=int, default=15)
+    parser.add_argument("--canonical-weight", type=float, default=0.2)
+    parser.add_argument("--stn-checkpoint", type=str, default=None)
+    parser.add_argument("--freeze-stn", action="store_true")
+    parser.add_argument("--stn-lr", type=float, default=None)
+    parser.add_argument("--grad-max-norm", type=float, default=None)
+    parser.add_argument("--log-dir", type=str, default="runs/rvae")
+    parser.add_argument("--no-tensorboard", action="store_true")
+    parser.add_argument("--vis-every", type=int, default=10)
+    parser.add_argument("--vis-samples", type=int, default=8)
+    parser.add_argument(
+        "--checkpoint", type=str, default="checkpoints/rvae_best.pt"
+    )
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--exact-resample",
+        action="store_true",
+        help="Use the exact torch-parity bilinear resampler instead of the fast 3-shear path",
+    )
+    # torch-only flags accepted for CLI compatibility (no-ops on TPU)
+    parser.add_argument("--num-workers", type=int, default=8, help=argparse.SUPPRESS)
+    parser.add_argument("--prefetch-factor", type=int, default=4, help=argparse.SUPPRESS)
+    parser.add_argument("--cpu", action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument("--compile", action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument("--no-amp", action="store_true", help=argparse.SUPPRESS)
+    return parser
+
+
+if __name__ == "__main__":
+    args = build_argparser().parse_args()
+    for noop in ("num_workers", "prefetch_factor", "cpu", "compile", "no_amp"):
+        if getattr(args, noop, None) not in (None, False, 8, 4):
+            print(f"note: --{noop.replace('_', '-')} is a no-op on the TPU pipeline")
+    run_training(args)

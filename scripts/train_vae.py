@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Train the plain VAE baseline on atom patches — TPU-native.
+
+CLI parity with the reference entry point (reference: scripts/train_vae.py
+— same flags/defaults: patch 128, padding 32, batch 512, latent 16, epochs
+50, lr 1e-3, Adam + CosineAnnealingWarmRestarts(T_0=10, T_mult=2), VAELoss
+beta 1.0 with optional linear beta-annealing, grad clip 5.0, best + final
+checkpoints in the reference torch.save layout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from datetime import datetime
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from _common import add_data_flags, batched, resolve_images, split_indices
+
+from livae_tpu.data.datasets import AdaptiveLatticeDataset, default_transform
+from livae_tpu.models.vae import VAE
+from livae_tpu.train.engine import (
+    MetricLogger,
+    evaluate,
+    log_reconstructions_tensorboard,
+    log_scalar_metrics_tensorboard,
+    make_eval_step,
+    make_train_step,
+    train_one_epoch,
+)
+from livae_tpu.train.state import TrainState, cosine_warm_restarts, make_optimizer
+from livae_tpu.utils.checkpoint import save_reference_checkpoint, vae_spec
+
+
+def run_training(args) -> dict:
+    images = resolve_images(args)
+
+    print("Building adaptive-lattice dataset...")
+    dataset = AdaptiveLatticeDataset(
+        images,
+        patch_size=args.patch_size,
+        padding=args.padding,
+        transform=default_transform,
+    )
+    n = len(dataset)
+    train_idx, val_idx = split_indices(n, args.val_split, seed=args.seed)
+    print(f"Dataset: {n} sites ({len(train_idx)} train / {len(val_idx)} val)")
+
+    model = VAE(latent_dim=args.latent_dim, patch_size=args.patch_size)
+    key = jax.random.key(args.seed)
+    key, init_key, sample_key = jax.random.split(key, 3)
+    params = model.init(
+        {"params": init_key, "sample": sample_key},
+        jnp.zeros((1, args.patch_size, args.patch_size, 1)),
+    )
+    n_params = sum(int(p.size) for p in jax.tree.leaves(params))
+    print(f"VAE: {n_params / 1e6:.2f}M parameters")
+
+    steps_per_epoch = max(1, len(train_idx) // args.batch_size)
+    schedule = cosine_warm_restarts(
+        args.lr,
+        args.scheduler_t0 * steps_per_epoch,
+        args.scheduler_t_mult,
+        total_steps=args.epochs * steps_per_epoch,
+    )
+    tx = make_optimizer(schedule, optimizer="adam")
+    state = TrainState.create(params, tx)
+
+    train_step = make_train_step(model, tx, grad_max_norm=5.0)
+    eval_step = make_eval_step(model)
+
+    writer = None
+    if not args.no_tensorboard:
+        from tensorboardX import SummaryWriter
+
+        log_dir = Path(args.log_dir) / datetime.now().strftime("%Y%m%d-%H%M%S")
+        writer = SummaryWriter(str(log_dir))
+        print(f"TensorBoard logs: {log_dir}")
+
+    ckpt_args = {k: v for k, v in vars(args).items() if not k.startswith("_")}
+    best_val = float("inf")
+    t_start = time.time()
+    total_patches = 0
+
+    for epoch in range(args.epochs):
+        if args.beta_annealing:
+            beta = args.beta * min(1.0, (epoch + 1) / max(args.beta_annealing_epochs, 1))
+        else:
+            beta = args.beta
+        key, ek, vk, bk = jax.random.split(key, 4)
+
+        logger = MetricLogger()
+        t0 = time.time()
+        train_batches = (
+            dataset.batch_at(chunk, jax.random.fold_in(bk, i))
+            for i, chunk in enumerate(batched(train_idx, args.batch_size))
+        )
+        state = train_one_epoch(train_step, state, train_batches, ek, logger, beta=beta)
+        train_time = time.time() - t0
+        total_patches += steps_per_epoch * args.batch_size
+
+        val_batches = (
+            dataset.batch_at(chunk)  # no augmentation at eval
+            for chunk in batched(val_idx, min(args.batch_size, len(val_idx)))
+        )
+        val_metrics = evaluate(eval_step, state.params, val_batches, vk, logger, beta=beta)
+
+        metrics = logger.get_averages()
+        pps = steps_per_epoch * args.batch_size / train_time
+        print(
+            f"Epoch {epoch + 1}/{args.epochs} | "
+            f"train {metrics.get('train_loss', float('nan')):.5f} | "
+            f"val {metrics.get('val_loss', float('nan')):.5f} | "
+            f"psnr {metrics.get('val_psnr', float('nan')):.2f} | "
+            f"beta {beta:.3f} | {pps:.0f} patches/s"
+        )
+        if writer is not None:
+            log_scalar_metrics_tensorboard(writer, metrics, epoch)
+            writer.add_scalar("train/beta", beta, epoch)
+            if (epoch + 1) % args.vis_every == 0:
+                key, pk, wk = jax.random.split(key, 3)
+                x = dataset.batch_at(val_idx[: args.vis_samples])
+                recon, _, _ = model.apply(state.params, x, rngs={"sample": wk})
+                log_reconstructions_tensorboard(writer, x, recon, epoch)
+
+        val_loss = val_metrics.get("val_loss", float("inf"))
+        if val_loss < best_val:
+            best_val = val_loss
+            save_reference_checkpoint(
+                args.checkpoint,
+                state.params,
+                vae_spec(args.patch_size, args.latent_dim),
+                epoch=epoch,
+                best_val=best_val,
+                args=ckpt_args,
+            )
+            print(f"  -> saved best checkpoint ({args.checkpoint})")
+
+    final_path = str(Path(args.checkpoint).with_suffix("")) + "_final.pt"
+    save_reference_checkpoint(
+        final_path, state.params, vae_spec(args.patch_size, args.latent_dim),
+        epoch=args.epochs - 1, best_val=best_val, args=ckpt_args,
+    )
+    wall = time.time() - t_start
+    print(f"Done in {wall:.0f}s | best val {best_val:.5f} | {total_patches / wall:.0f} patches/sec overall")
+    if writer is not None:
+        writer.close()
+    return {"best_val": best_val, "state": state}
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Train standard VAE on atom patches from STEM microscopy (TPU)"
+    )
+    add_data_flags(parser)
+    parser.add_argument("--patch-size", type=int, default=128)
+    parser.add_argument("--padding", type=int, default=32)
+    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--val-split", type=float, default=0.1)
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--scheduler-t0", type=int, default=10)
+    parser.add_argument("--scheduler-t-mult", type=int, default=2)
+    parser.add_argument("--latent-dim", type=int, default=16)
+    parser.add_argument("--beta", type=float, default=1.0)
+    parser.add_argument("--beta-annealing", action="store_true")
+    parser.add_argument("--beta-annealing-epochs", type=int, default=10)
+    parser.add_argument("--log-dir", type=str, default="runs/vae")
+    parser.add_argument("--no-tensorboard", action="store_true")
+    parser.add_argument("--vis-every", type=int, default=10)
+    parser.add_argument("--vis-samples", type=int, default=8)
+    parser.add_argument("--checkpoint", type=str, default="checkpoints/vae_best.pt")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num-workers", type=int, default=8, help=argparse.SUPPRESS)
+    parser.add_argument("--prefetch-factor", type=int, default=4, help=argparse.SUPPRESS)
+    parser.add_argument("--cpu", action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument("--compile", action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument("--no-amp", action="store_true", help=argparse.SUPPRESS)
+    return parser
+
+
+if __name__ == "__main__":
+    run_training(build_argparser().parse_args())
