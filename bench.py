@@ -47,7 +47,7 @@ def main() -> None:
     from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset
     from livae_tpu.data.synthetic import synthetic_mos2_frame
     from livae_tpu.models.rvae import RVAE
-    from livae_tpu.train.engine import make_rvae_train_step
+    from livae_tpu.train.engine import make_fused_encode, make_fused_rvae_train_step
     from livae_tpu.train.state import TrainState, make_optimizer
 
     frame, _ = synthetic_mos2_frame(size=1024, spacing=40.0, seed=0)
@@ -55,7 +55,7 @@ def main() -> None:
         dataset = PairedAdaptiveLatticeDataset([frame], patch_size=PATCH, padding=32)
     n = len(dataset)
 
-    model = RVAE(latent_dim=LATENT, patch_size=PATCH)
+    model = RVAE(latent_dim=LATENT, patch_size=PATCH, compute_dtype="bfloat16")
     key = jax.random.key(0)
     params = model.init(
         {"params": jax.random.key(1), "sample": jax.random.key(2)},
@@ -63,23 +63,30 @@ def main() -> None:
     )
     tx = make_optimizer(1e-3, optimizer="adamw", weight_decay=1e-5)
     state = TrainState.create(params, tx)
-    step = make_rvae_train_step(model, tx, canonical_weight=0.2, grad_max_norm=20.0)
+    step = make_fused_rvae_train_step(
+        model, tx,
+        patch_size=PATCH, padding=32, cfg=dataset.transform,
+        margin=dataset._margin,
+        canonical_weight=0.2, grad_max_norm=20.0,
+    )
+    frames_padded, img_idx_dev, coords_dev, _ = dataset.device_site_table
 
-    encode = jax.jit(lambda p, x: model.apply(p, x, method="encode"))
+    encode = make_fused_encode(model, patch_size=PATCH, padding=32, margin=dataset._margin)
 
     def sync(x):
         return float(jnp.sum(jax.tree.leaves(x)[0]))
 
     def train_chunk(state, n_steps, seed0):
-        for i in range(n_steps):
-            k = jax.random.fold_in(key, seed0 + i)
-            idx = jax.random.randint(jax.random.fold_in(k, 0), (BATCH,), 0, n)
-            x, x_rot, angle = dataset.batch_at(idx, jax.random.fold_in(k, 1))
-            state, metrics = step(state, x, x_rot, angle, k, 10.0, 10.0)
+        k = jax.random.fold_in(key, seed0)
+        idx = jax.random.randint(k, (n_steps, BATCH), 0, n)
+        state, metrics = step(
+            state, frames_padded, img_idx_dev, coords_dev, idx, k, 10.0, 10.0
+        )
         return state, metrics
 
-    # warmup/compile
-    state, m = train_chunk(state, WARMUP, 0)
+    # warmup/compile — MUST use the same loop length as the timed chunk,
+    # or the timed call recompiles and the compile is billed as runtime
+    state, m = train_chunk(state, TRAIN_STEPS, 0)
     sync(m["loss"])
 
     t0 = time.time()
@@ -88,15 +95,12 @@ def main() -> None:
     train_time = time.time() - t0
     train_pps = TRAIN_STEPS * BATCH / train_time
 
-    # encode path (extraction without augmentation + encoder forward)
-    idx0 = jnp.arange(BATCH) % n
-    x = dataset.batch_at(idx0, jax.random.key(3))[0]
-    sync(encode(state.params, x))
+    # encode path (fused extraction + encoder forward, one dispatch)
+    eidx = jax.random.randint(jax.random.fold_in(key, 500), (ENCODE_STEPS, BATCH), 0, n)
+    mu, logvar, theta = encode(state.params, frames_padded, img_idx_dev, coords_dev, eidx)
+    sync(mu)
     t0 = time.time()
-    for i in range(ENCODE_STEPS):
-        idx = jax.random.randint(jax.random.fold_in(key, 500 + i), (BATCH,), 0, n)
-        x, _, _ = dataset.batch_at(idx, jax.random.fold_in(key, 600 + i))
-        mu, logvar, theta = encode(state.params, x)
+    mu, logvar, theta = encode(state.params, frames_padded, img_idx_dev, coords_dev, eidx)
     sync(mu)
     encode_time = time.time() - t0
     encode_pps = ENCODE_STEPS * BATCH / encode_time

@@ -144,6 +144,22 @@ class _SiteDatasetBase:
                 break
             yield self.batch_at(chunk, jax.random.fold_in(kaug, b))
 
+    def epoch_index_batches(self, key: jax.Array, batch_size: int) -> jax.Array:
+        """[steps, batch_size] shuffled site indices for one epoch.
+
+        Feeds the fused whole-epoch train step (extraction happens inside
+        the jitted step; this is the only host-side epoch work).
+        """
+        n = len(self)
+        steps = n // batch_size
+        perm = jax.random.permutation(key, n)[: steps * batch_size]
+        return perm.reshape(steps, batch_size).astype(jnp.int32)
+
+    @property
+    def device_site_table(self):
+        """(frames_padded, img_idx, coords, margin) for fused train steps."""
+        return self.frames_padded, self._img_idx_dev, self._coords_dev, self._margin
+
     def __getitem__(self, idx: int):
         idx = self._locate(int(idx))
         key = jax.random.key(np.random.randint(0, 2**31)) if self.transform else None

@@ -61,12 +61,18 @@ def torch_bias_init(key, shape, dtype=jnp.float32):
 
 
 class Conv(nn.Module):
-    """NHWC conv with torch-default init and explicit symmetric padding."""
+    """NHWC conv with torch-default init and explicit symmetric padding.
+
+    `dtype` is the computation dtype: bfloat16 routes the matmuls onto the
+    MXU at full rate (the TPU analog of the reference's AMP autocast,
+    reference train.py:75) while parameters stay float32.
+    """
 
     features: int
     kernel_size: int
     stride: int = 1
     padding: int = 0
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -80,6 +86,7 @@ class Conv(nn.Module):
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init_for(fan_in),
+            dtype=self.dtype,
             name="conv",
         )(x)
 
@@ -97,6 +104,7 @@ class ConvTranspose(nn.Module):
     kernel_size: int
     stride: int = 2
     padding: int = 1
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -111,6 +119,11 @@ class ConvTranspose(nn.Module):
         bias = self.param("bias", torch_bias_init_for(fan_in), (self.features,))
         flipped = jnp.flip(kernel, axis=(0, 1))
         pad = k - 1 - p
+        if self.dtype is not None:
+            cd = jnp.dtype(self.dtype)
+            x = x.astype(cd)
+            flipped = flipped.astype(cd)
+            bias = bias.astype(cd)
         out = jax.lax.conv_general_dilated(
             x,
             flipped,
@@ -124,6 +137,7 @@ class ConvTranspose(nn.Module):
 
 class Dense(nn.Module):
     features: int
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -132,6 +146,7 @@ class Dense(nn.Module):
             self.features,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init_for(fan_in),
+            dtype=self.dtype,
             name="dense",
         )(x)
 

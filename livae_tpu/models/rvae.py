@@ -57,16 +57,19 @@ class RotationSTN(nn.Module):
     patch_size: int = 64
     in_channels: int = 1
     fast_resample: bool = True
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
-        h = Conv(16, kernel_size=5, stride=1, padding=2, name="loc_conv0")(x)
+        h = Conv(16, kernel_size=5, stride=1, padding=2,
+                 dtype=self.compute_dtype, name="loc_conv0")(x)
         h = nn.relu(h)
         h = max_pool_2x2(h)
-        h = Conv(32, kernel_size=5, stride=1, padding=2, name="loc_conv1")(h)
+        h = Conv(32, kernel_size=5, stride=1, padding=2,
+                 dtype=self.compute_dtype, name="loc_conv1")(h)
         h = nn.relu(h)
         h = max_pool_2x2(h)
-        h = h.reshape(h.shape[0], -1)
+        h = h.reshape(h.shape[0], -1).astype(jnp.float32)
         h = Dense(32, name="loc_fc0")(h)
         h = nn.relu(h)
         vec = nn.Dense(
@@ -108,13 +111,15 @@ class Encoder(nn.Module):
     patch_size: int = 64
     in_channels: int = 1
     fast_resample: bool = True
+    compute_dtype: str | None = None
 
     def setup(self):
         self.rotation_stn = RotationSTN(
-            self.patch_size, self.in_channels, self.fast_resample
+            self.patch_size, self.in_channels, self.fast_resample, self.compute_dtype
         )
         self._convs = [
-            Conv(w, kernel_size=4, stride=2, padding=1, name=f"conv{i}")
+            Conv(w, kernel_size=4, stride=2, padding=1,
+                 dtype=self.compute_dtype, name=f"conv{i}")
             for i, w in enumerate(ENCODER_WIDTHS)
         ]
         self.fc_mu = Dense(self.latent_dim, name="fc_mu")
@@ -125,7 +130,7 @@ class Encoder(nn.Module):
         h = x_rotated
         for conv in self._convs:
             h = nn.relu(conv(h))
-        h = h.reshape(h.shape[0], -1)
+        h = h.reshape(h.shape[0], -1).astype(jnp.float32)
         return self.fc_mu(h), self.fc_logvar(h), theta
 
 
@@ -138,6 +143,7 @@ class Decoder(nn.Module):
     latent_dim: int = 10
     out_channels: int = 1
     patch_size: int = 64
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -145,14 +151,17 @@ class Decoder(nn.Module):
         h = Dense(256 * side * side, name="fc")(z)
         h = nn.relu(h)
         h = h.reshape(h.shape[0], side, side, 256)
+        if self.compute_dtype is not None:
+            h = h.astype(jnp.dtype(self.compute_dtype))
         widths = (128, 64, 32, self.out_channels)
         for i, width in enumerate(widths):
             h = upsample2x_bilinear(h)
             h = reflection_pad_1(h)
-            h = Conv(width, kernel_size=3, stride=1, padding=0, name=f"up_conv{i}")(h)
+            h = Conv(width, kernel_size=3, stride=1, padding=0,
+                     dtype=self.compute_dtype, name=f"up_conv{i}")(h)
             if i < len(widths) - 1:
                 h = nn.relu(h)
-        return nn.sigmoid(h)
+        return nn.sigmoid(h.astype(jnp.float32))
 
 
 class RVAE(nn.Module):
@@ -166,12 +175,16 @@ class RVAE(nn.Module):
     in_channels: int = 1
     patch_size: int = 64
     fast_resample: bool = True
+    compute_dtype: str | None = None
 
     def setup(self):
         self.encoder = Encoder(
-            self.latent_dim, self.patch_size, self.in_channels, self.fast_resample
+            self.latent_dim, self.patch_size, self.in_channels,
+            self.fast_resample, self.compute_dtype,
         )
-        self.decoder = Decoder(self.latent_dim, self.in_channels, self.patch_size)
+        self.decoder = Decoder(
+            self.latent_dim, self.in_channels, self.patch_size, self.compute_dtype
+        )
 
     def __call__(
         self, x: jax.Array

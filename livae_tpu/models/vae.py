@@ -33,20 +33,26 @@ def reparameterize(rng: jax.Array, mu: jax.Array, logvar: jax.Array) -> jax.Arra
 
 
 class VAEEncoder(nn.Module):
-    """Conv trunk -> (mu, logvar). Reference: src/livae/model.py:9-61."""
+    """Conv trunk -> (mu, logvar). Reference: src/livae/model.py:9-61.
+
+    compute_dtype="bfloat16" runs the convs on the MXU at full rate (the
+    TPU analog of the reference's AMP autocast); mu/logvar return float32.
+    """
 
     latent_dim: int = 10
     patch_size: int = 64
     in_channels: int = 1
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         for i, width in enumerate(ENCODER_WIDTHS):
-            x = Conv(width, kernel_size=4, stride=2, padding=1, name=f"conv{i}")(x)
+            x = Conv(width, kernel_size=4, stride=2, padding=1,
+                     dtype=self.compute_dtype, name=f"conv{i}")(x)
             x = nn.relu(x)
         h = x.reshape(x.shape[0], -1)  # NHWC flatten: (H, W, C) order
-        mu = Dense(self.latent_dim, name="fc_mu")(h)
-        logvar = Dense(self.latent_dim, name="fc_logvar")(h)
+        mu = Dense(self.latent_dim, name="fc_mu")(h.astype(jnp.float32))
+        logvar = Dense(self.latent_dim, name="fc_logvar")(h.astype(jnp.float32))
         return mu, logvar
 
 
@@ -56,6 +62,7 @@ class VAEDecoder(nn.Module):
     latent_dim: int = 10
     out_channels: int = 1
     patch_size: int = 64
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -65,10 +72,11 @@ class VAEDecoder(nn.Module):
         h = h.reshape(h.shape[0], side, side, 256)  # NHWC
         widths = (128, 64, 32, self.out_channels)
         for i, width in enumerate(widths):
-            h = ConvTranspose(width, kernel_size=4, stride=2, padding=1, name=f"deconv{i}")(h)
+            h = ConvTranspose(width, kernel_size=4, stride=2, padding=1,
+                              dtype=self.compute_dtype, name=f"deconv{i}")(h)
             if i < len(widths) - 1:
                 h = nn.relu(h)
-        return nn.sigmoid(h)
+        return nn.sigmoid(h.astype(jnp.float32))
 
 
 class VAE(nn.Module):
@@ -81,10 +89,15 @@ class VAE(nn.Module):
     latent_dim: int = 10
     in_channels: int = 1
     patch_size: int = 64
+    compute_dtype: str | None = None
 
     def setup(self):
-        self.encoder = VAEEncoder(self.latent_dim, self.patch_size, self.in_channels)
-        self.decoder = VAEDecoder(self.latent_dim, self.in_channels, self.patch_size)
+        self.encoder = VAEEncoder(
+            self.latent_dim, self.patch_size, self.in_channels, self.compute_dtype
+        )
+        self.decoder = VAEDecoder(
+            self.latent_dim, self.in_channels, self.patch_size, self.compute_dtype
+        )
 
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
         mu, logvar = self.encoder(x)

@@ -1,4 +1,6 @@
 from .engine import (
+    make_fused_encode,
+    make_fused_rvae_train_step,
     MetricLogger,
     evaluate,
     evaluate_rotation_invariance,

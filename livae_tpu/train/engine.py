@@ -21,6 +21,7 @@ theta[0, 1] indexing in evaluate_rotation_invariance (train.py:753).
 
 from __future__ import annotations
 
+import functools
 from collections import defaultdict
 from typing import Any, Callable, Iterable
 
@@ -39,6 +40,8 @@ __all__ = [
     "rotate_to_canonical",
     "make_train_step",
     "make_rvae_train_step",
+    "make_fused_rvae_train_step",
+    "make_fused_encode",
     "make_eval_step",
     "make_rvae_eval_step",
     "train_one_epoch",
@@ -247,6 +250,127 @@ def make_rvae_train_step(
         return new_state, metrics
 
     return step
+
+
+def make_fused_rvae_train_step(
+    model,
+    tx,
+    *,
+    patch_size: int,
+    padding: int,
+    cfg,
+    margin: int,
+    use_diversity: bool = False,
+    canonical_weight: float = 0.2,
+    grad_max_norm: float = 20.0,
+):
+    """Whole-epoch fused rVAE training: extraction + N optimizer steps, one jit.
+
+    The TPU-native replacement for the DataLoader+step split: patch
+    extraction (livae_tpu.data.pipeline.extract_batch_paired) runs INSIDE
+    the train step so XLA fuses it with the forward pass, and a fori_loop
+    executes all `idx_batches` steps in a single dispatch (the tunneled
+    device costs ~25 ms per dispatch; an epoch becomes one).
+
+    Returns jitted
+        step(state, frames_padded, img_idx, coords, idx_batches[S, B],
+             key, beta, gamma) -> (state, mean metrics)
+    """
+    from ..data.pipeline import extract_batch_paired
+
+    def loss_fn(params, x, x_rot, angle, key, beta, gamma):
+        rotated_recon, canonical, theta, mu, logvar = model.apply(
+            params, x, rngs={"sample": key}
+        )
+        _, _, theta_rot = model.apply(params, x_rot, method="encode")
+        total, rl, kl, cyc = rvae_loss(
+            rotated_recon, x, mu, logvar, theta, theta_rot, angle,
+            beta=1.0, gamma=1.0, use_diversity=use_diversity,
+        )
+        total = rl + beta * kl + gamma * cyc
+        canonical_input = rotate_to_canonical(x, theta)
+        canon_l = jnp.mean((canonical - canonical_input) ** 2)
+        if canonical_weight > 0:
+            total = total + canonical_weight * canon_l
+        theta_std = jnp.std(theta, ddof=1)
+        return total, (rl, kl, cyc, canon_l, theta_std)
+
+    metric_names = (
+        "loss", "recon_loss", "kld_loss", "cycle_loss", "canonical_loss",
+        "rotation_std", "grad_norm",
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, frames_padded, img_idx, coords, idx_batches, key, beta, gamma):
+        n_sub = idx_batches.shape[0]
+
+        def body(i, carry):
+            state, acc = carry
+            k = jax.random.fold_in(key, i)
+            ke, ks = jax.random.split(k)
+            idx = idx_batches[i]
+            x, x_rot, angle = extract_batch_paired(
+                frames_padded, img_idx[idx], coords[idx], ke,
+                patch_size, padding, cfg=cfg, margin=margin,
+            )
+            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, x, x_rot, angle, ks, beta, gamma
+            )
+            grads, gnorm = _clip_by_global_norm(grads, grad_max_norm)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state
+            )
+            vals = jnp.stack([total, *aux, gnorm])
+            return state, acc + vals
+
+        state, acc = jax.lax.fori_loop(
+            0, n_sub, body, (state, jnp.zeros(len(metric_names)))
+        )
+        metrics = dict(zip(metric_names, acc / n_sub))
+        return state, metrics
+
+    return step
+
+
+def make_fused_encode(model, *, patch_size: int, padding: int, margin: int):
+    """Fused batched encode: extraction + encoder forward over [S, B] indices.
+
+    One dispatch for an entire encode sweep (the analysis half of the
+    train+encode metric; also the collect_stats hot path). No augmentation
+    (the reference's transform=None encode path).
+
+    Returns jitted encode(params, frames_padded, img_idx, coords,
+    idx_batches[S, B]) -> (mu [S*B, D], logvar [S*B, D], theta [S*B, 1]|None).
+    """
+    from ..data.pipeline import extract_batch
+
+    @jax.jit
+    def encode(params, frames_padded, img_idx, coords, idx_batches):
+        def body(i):
+            idx = idx_batches[i]
+            x = extract_batch(
+                frames_padded, img_idx[idx], coords[idx], None,
+                patch_size, padding, cfg=None, margin=margin,
+            )
+            out = model.apply(params, x, method="encode")
+            if len(out) == 2:
+                mu, logvar = out
+                theta = jnp.zeros((mu.shape[0], 1), mu.dtype)
+            else:
+                mu, logvar, theta = out
+            return mu, logvar, theta
+
+        mus, logvars, thetas = jax.lax.map(body, jnp.arange(idx_batches.shape[0]))
+        D = mus.shape[-1]
+        return (
+            mus.reshape(-1, D),
+            logvars.reshape(-1, D),
+            thetas.reshape(-1, 1),
+        )
+
+    return encode
 
 
 def make_eval_step(model, *, use_diversity: bool = False, canonical_weight: float = 0.0):

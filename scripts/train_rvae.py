@@ -6,9 +6,9 @@ scripts/train_rvae.py — same flag names and defaults: patch 128, padding
 32, batch 512, latent 16, epochs 50, lr 1e-3, beta 10, gamma 10, AdamW
 weight-decay 1e-5, CosineAnnealingLR, beta-annealing warmup 5 + ramp 15,
 --stn-checkpoint / --freeze-stn / --stn-lr, best + _final checkpoints).
-Torch-only knobs (--num-workers, --prefetch-factor, --compile, --no-amp,
---cpu) are accepted and ignored with a note, so existing launch commands
-run unchanged.
+Torch-only knobs (--num-workers, --prefetch-factor, --compile, --cpu) are
+accepted and ignored with a note; --no-amp maps to float32 compute (the
+default is bfloat16 mixed precision, the TPU analog of the reference's AMP).
 
 TPU-native execution: paired batches are extracted by the jitted device
 pipeline; each optimizer step is one jitted function; checkpoints are
@@ -37,8 +37,8 @@ from livae_tpu.train.engine import (
     evaluate_rvae,
     log_reconstructions_tensorboard,
     log_scalar_metrics_tensorboard,
+    make_fused_rvae_train_step,
     make_rvae_eval_step,
-    make_rvae_train_step,
     train_rvae_one_epoch,
 )
 from livae_tpu.train.state import (
@@ -70,10 +70,12 @@ def run_training(args) -> dict:
     train_idx, val_idx = split_indices(n, args.val_split, seed=args.seed)
     print(f"Dataset: {n} sites ({len(train_idx)} train / {len(val_idx)} val)")
 
+    compute_dtype = None if args.no_amp else "bfloat16"
     model = RVAE(
         latent_dim=args.latent_dim,
         patch_size=args.patch_size,
         fast_resample=not args.exact_resample,
+        compute_dtype=compute_dtype,
     )
     key = jax.random.key(args.seed)
     key, init_key, sample_key = jax.random.split(key, 3)
@@ -107,13 +109,18 @@ def run_training(args) -> dict:
     state = TrainState.create(params, tx)
 
     grad_max_norm = args.grad_max_norm if args.grad_max_norm is not None else 20.0
-    train_step = make_rvae_train_step(
+    train_step = make_fused_rvae_train_step(
         model,
         tx,
+        patch_size=args.patch_size,
+        padding=args.padding,
+        cfg=dataset.transform,
+        margin=dataset._margin,
         use_diversity=args.use_diversity_loss,
         canonical_weight=args.canonical_weight,
         grad_max_norm=grad_max_norm,
     )
+    frames_padded, img_idx_dev, coords_dev, _ = dataset.device_site_table
     eval_step = make_rvae_eval_step(
         model,
         use_diversity=args.use_diversity_loss,
@@ -146,14 +153,18 @@ def run_training(args) -> dict:
 
         epoch_logger = MetricLogger()
         t0 = time.time()
-        train_batches = (
-            dataset.batch_at(chunk, jax.random.fold_in(bk, i))
-            for i, chunk in enumerate(batched(train_idx, args.batch_size))
+        # fused whole-epoch step: one dispatch extracts + trains all batches
+        kperm, kstep = jax.random.split(ek)
+        perm = jax.random.permutation(kperm, len(train_idx))
+        steps = len(train_idx) // args.batch_size
+        idx_batches = jnp.asarray(train_idx)[perm[: steps * args.batch_size]].reshape(
+            steps, args.batch_size
         )
-        state = train_rvae_one_epoch(
-            train_step, state, train_batches, ek, epoch_logger,
-            beta=beta, gamma=args.gamma,
+        state, train_metrics = train_step(
+            state, frames_padded, img_idx_dev, coords_dev,
+            idx_batches, kstep, beta, args.gamma,
         )
+        epoch_logger.update(**{f"train_{k}": float(v) for k, v in train_metrics.items()})
         train_time = time.time() - t0
         total_patches += steps_per_epoch * args.batch_size
 
@@ -273,13 +284,17 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--prefetch-factor", type=int, default=4, help=argparse.SUPPRESS)
     parser.add_argument("--cpu", action="store_true", help=argparse.SUPPRESS)
     parser.add_argument("--compile", action="store_true", help=argparse.SUPPRESS)
-    parser.add_argument("--no-amp", action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument(
+        "--no-amp",
+        action="store_true",
+        help="Disable mixed precision (bfloat16 compute); use float32 everywhere",
+    )
     return parser
 
 
 if __name__ == "__main__":
     args = build_argparser().parse_args()
-    for noop in ("num_workers", "prefetch_factor", "cpu", "compile", "no_amp"):
+    for noop in ("num_workers", "prefetch_factor", "cpu", "compile"):
         if getattr(args, noop, None) not in (None, False, 8, 4):
             print(f"note: --{noop.replace('_', '-')} is a no-op on the TPU pipeline")
     run_training(args)

@@ -49,7 +49,12 @@ def run_training(args) -> dict:
     train_idx, val_idx = split_indices(n, args.val_split, seed=args.seed)
     print(f"Dataset: {n} sites ({len(train_idx)} train / {len(val_idx)} val)")
 
-    model = VAE(latent_dim=args.latent_dim, patch_size=args.patch_size)
+    compute_dtype = None if args.no_amp else "bfloat16"
+    model = VAE(
+        latent_dim=args.latent_dim,
+        patch_size=args.patch_size,
+        compute_dtype=compute_dtype,
+    )
     key = jax.random.key(args.seed)
     key, init_key, sample_key = jax.random.split(key, 3)
     params = model.init(
@@ -178,7 +183,11 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--prefetch-factor", type=int, default=4, help=argparse.SUPPRESS)
     parser.add_argument("--cpu", action="store_true", help=argparse.SUPPRESS)
     parser.add_argument("--compile", action="store_true", help=argparse.SUPPRESS)
-    parser.add_argument("--no-amp", action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument(
+        "--no-amp",
+        action="store_true",
+        help="Disable mixed precision (bfloat16 compute); use float32 everywhere",
+    )
     return parser
 
 
