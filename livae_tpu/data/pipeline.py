@@ -193,11 +193,7 @@ def _center_crop_b(p: jax.Array, size: int) -> jax.Array:
     return p[:, top : top + size, top : top + size]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("patch_size", "padding", "cfg", "normalize", "margin"),
-)
-def extract_batch(
+def _extract_batch_impl(
     frames_padded: jax.Array,
     img_idx: jax.Array,
     centers: jax.Array,
@@ -254,11 +250,7 @@ def extract_batch(
     return p[..., None]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("patch_size", "padding", "cfg", "margin"),
-)
-def extract_batch_paired(
+def _extract_batch_paired_impl(
     frames_padded: jax.Array,
     img_idx: jax.Array,
     centers: jax.Array,
@@ -304,3 +296,20 @@ def extract_batch_paired(
     patch = _minmax_normalize(_center_crop_b(p_big, patch_size))[..., None]
     rotated = _minmax_normalize(_center_crop_b(rot_big, patch_size))[..., None]
     return patch, rotated, angle
+
+
+# Public jitted entry points. The un-jitted _impl variants exist for callers
+# that are already inside jit (the fused train/encode steps): nesting a
+# jitted pallas_call inside jit trips a lowering-cache bug in jax 0.9.
+extract_batch = functools.partial(
+    jax.jit(
+        _extract_batch_impl,
+        static_argnames=("patch_size", "padding", "cfg", "normalize", "margin"),
+    )
+)
+extract_batch_paired = functools.partial(
+    jax.jit(
+        _extract_batch_paired_impl,
+        static_argnames=("patch_size", "padding", "cfg", "margin"),
+    )
+)

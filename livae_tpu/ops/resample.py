@@ -276,17 +276,28 @@ def _rot90_select(img: jax.Array, q: jax.Array) -> jax.Array:
     return out
 
 
+def _use_pallas_backend(backend: str) -> bool:
+    if backend == "pallas":
+        return True
+    if backend == "xla":
+        return False
+    # auto: the fused VMEM kernel on TPU, plain XLA elsewhere
+    return jax.default_backend() == "tpu"
+
+
 def rotate_image_fast(
     img: jax.Array,
     theta: jax.Array,
     padding_mode: str = "reflection",
     margin: int | None = None,
+    backend: str = "auto",
 ) -> jax.Array:
     """Gather-free equivalent of `rotate_image` (STN grid convention).
 
     img: [B, H, W, C] with H == W. theta: [B] or [B, 1] radians.
     margin: padding absorbing boundary excursions; default S // 4 (validated
     to keep wraparound out of the output in tests/test_resample.py).
+    backend: "auto" | "pallas" (fused VMEM shear kernel, TPU) | "xla".
     """
     B, H, W, C = img.shape
     if H != W:
@@ -316,11 +327,24 @@ def rotate_image_fast(
     rows = (jnp.arange(P, dtype=jnp.float32) - c)[None, :, None, None]  # [1,P,1,1]
     cols = (jnp.arange(P, dtype=jnp.float32) - c)[None, None, :, None]  # [1,1,P,1]
 
-    # Sx: out[y, x] = in[y, x + alpha*(y - c)] — shift along W, constant per row
-    out = _fractional_shift(img, alpha * rows, axis=2)
-    # Sy: out[y, x] = in[y + beta*(x - c), x] — shift along H, constant per col
-    out = _fractional_shift(out, beta * cols, axis=1)
-    out = _fractional_shift(out, alpha * rows, axis=2)
+    if _use_pallas_backend(backend) and C == 1:
+        from .pallas.shear import fractional_shift_pallas
+
+        x2 = img[..., 0]  # [B, P, P]
+        d_row = (alpha * rows)[:, :, 0, 0]  # [B, P] per-row shift (along W)
+        d_col = (beta * cols)[:, 0, :, 0]  # [B, P] per-col shift (along H)
+        d_row = jnp.broadcast_to(d_row, (B, P))
+        d_col = jnp.broadcast_to(d_col, (B, P))
+        out = fractional_shift_pallas(x2, d_row, 2)
+        out = fractional_shift_pallas(out, d_col, 1)
+        out = fractional_shift_pallas(out, d_row, 2)
+        out = out[..., None]
+    else:
+        # Sx: out[y, x] = in[y, x + alpha*(y-c)] — shift along W, const per row
+        out = _fractional_shift(img, alpha * rows, axis=2)
+        # Sy: out[y, x] = in[y + beta*(x-c), x] — shift along H, const per col
+        out = _fractional_shift(out, beta * cols, axis=1)
+        out = _fractional_shift(out, alpha * rows, axis=2)
 
     return out[:, margin : margin + S, margin : margin + S, :]
 

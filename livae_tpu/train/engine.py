@@ -276,7 +276,7 @@ def make_fused_rvae_train_step(
         step(state, frames_padded, img_idx, coords, idx_batches[S, B],
              key, beta, gamma) -> (state, mean metrics)
     """
-    from ..data.pipeline import extract_batch_paired
+    from ..data.pipeline import _extract_batch_paired_impl as extract_batch_paired
 
     def loss_fn(params, x, x_rot, angle, key, beta, gamma):
         rotated_recon, canonical, theta, mu, logvar = model.apply(
@@ -344,7 +344,7 @@ def make_fused_encode(model, *, patch_size: int, padding: int, margin: int):
     Returns jitted encode(params, frames_padded, img_idx, coords,
     idx_batches[S, B]) -> (mu [S*B, D], logvar [S*B, D], theta [S*B, 1]|None).
     """
-    from ..data.pipeline import extract_batch
+    from ..data.pipeline import _extract_batch_impl as extract_batch
 
     @jax.jit
     def encode(params, frames_padded, img_idx, coords, idx_batches):
