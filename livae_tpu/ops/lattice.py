@@ -15,9 +15,10 @@ Capability parity with the reference's lattice analysis:
   union-find clustering at 0.35*spacing, and label each unique site
   atom (1, within 0.6*spacing of a detected atom) or vacancy (0). The
   reference's per-atom Python loops and KDTree queries are vectorized
-  numpy here (runs once per frame at dataset build); clustering uses
-  scipy's connected_components (same equivalence classes as the
-  reference's union-find, data.py:418-445).
+  numpy here (runs once per frame at dataset build); site clustering and
+  labeling run in the native C++ component (native/lattice_native.cpp:
+  grid-hash + union-find, same equivalence classes as the reference's
+  union-find at data.py:418-445) with a scipy fallback.
 
 * `generate_lattice_grid`: both reference surfaces — the implemented
   spacing-based hexagonal grid (src/livae/data.py:28-75) and the
@@ -34,10 +35,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy import ndimage
 from scipy.signal import find_peaks
-from scipy.sparse import coo_matrix
-from scipy.sparse.csgraph import connected_components
 from scipy.spatial import cKDTree
 
 from .peaks import get_clean_peaks
@@ -222,27 +220,14 @@ def build_adaptive_lattice(
     )
     predicted_sites = np.concatenate([atoms, predicted[in_bounds]], axis=0)
 
-    # Dedupe: cluster sites within 0.35*spacing and keep centroids
-    # (same equivalence classes as the reference's union-find).
-    site_tree = cKDTree(predicted_sites)
-    pairs = site_tree.query_pairs(r=lattice_spacing * 0.35, output_type="ndarray")
-    n_sites = len(predicted_sites)
-    if len(pairs):
-        adj = coo_matrix(
-            (np.ones(len(pairs)), (pairs[:, 0], pairs[:, 1])),
-            shape=(n_sites, n_sites),
-        )
-        n_comp, comp = connected_components(adj, directed=False)
-    else:
-        n_comp, comp = n_sites, np.arange(n_sites)
+    # Dedupe: cluster sites within 0.35*spacing and keep centroids — the
+    # native grid-hash union-find (native/lattice_native.cpp) when built,
+    # else the scipy connected-components fallback; identical equivalence
+    # classes to the reference's union-find (data.py:418-445).
+    from .native import cluster_points, label_sites
 
-    sums = np.zeros((n_comp, 2))
-    np.add.at(sums, comp, predicted_sites)
-    counts = np.bincount(comp, minlength=n_comp).astype(np.float64)
-    unique_sites = sums / counts[:, None]
-
-    dist, _ = tree.query(unique_sites)
-    labels = (dist < threshold_dist).astype(np.int64)
+    _, unique_sites = cluster_points(predicted_sites, lattice_spacing * 0.35)
+    labels = label_sites(unique_sites, atoms, threshold_dist)
     return unique_sites, labels, lattice_spacing
 
 
@@ -306,24 +291,12 @@ def extrapolate_lattice_grid(
         all_sites = np.concatenate(sites, axis=0)
 
         # dedupe at a fraction of the median nearest-neighbor distance
+        from .native import cluster_points
+
         tree = cKDTree(coords)
         d, _ = tree.query(coords, k=min(2, len(coords)))
         spacing = float(np.median(d[:, -1])) if len(coords) > 1 else 1.0
-        site_tree = cKDTree(all_sites)
-        pairs = site_tree.query_pairs(r=max(spacing * 0.35, 1e-6), output_type="ndarray")
-        n_sites = len(all_sites)
-        if len(pairs):
-            adj = coo_matrix(
-                (np.ones(len(pairs)), (pairs[:, 0], pairs[:, 1])),
-                shape=(n_sites, n_sites),
-            )
-            n_comp, comp = connected_components(adj, directed=False)
-            sums = np.zeros((n_comp, 2))
-            np.add.at(sums, comp, all_sites)
-            counts = np.bincount(comp, minlength=n_comp).astype(np.float64)
-            grid = sums / counts[:, None]
-        else:
-            grid = all_sites
+        _, grid = cluster_points(all_sites, max(spacing * 0.35, 1e-6))
 
     in_img = (
         (grid[:, 0] >= 0) & (grid[:, 0] < h) & (grid[:, 1] >= 0) & (grid[:, 1] < w)
