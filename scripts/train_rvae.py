@@ -141,7 +141,23 @@ def run_training(args) -> dict:
     total_patches = 0
     t_start = time.time()
 
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    resume_dir = args.resume_dir or (str(Path(args.checkpoint).parent / "orbax_rvae"))
+    if args.resume:
+        from livae_tpu.utils.orbax_io import latest_step, restore_train_state
+
+        if latest_step(resume_dir) is not None:
+            state, meta = restore_train_state(resume_dir, state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            best_val = float(meta.get("best_val", float("inf")))
+            key = jax.random.key(int(meta.get("seed", args.seed)))
+            for _ in range(start_epoch):
+                key, *_ = jax.random.split(key, 4)
+            print(f"Resumed from {resume_dir} at epoch {start_epoch}")
+        else:
+            print(f"--resume: no checkpoint in {resume_dir}; starting fresh")
+
+    for epoch in range(start_epoch, args.epochs):
         beta = beta_at_epoch(
             epoch,
             args.beta,
@@ -150,6 +166,9 @@ def run_training(args) -> dict:
             ramp_epochs=args.beta_annealing_epochs,
         )
         key, ek, vk, bk = jax.random.split(key, 4)
+
+        if args.profile and epoch == start_epoch + 1:
+            jax.profiler.start_trace(str(Path(args.log_dir) / "profile"))
 
         epoch_logger = MetricLogger()
         t0 = time.time()
@@ -176,6 +195,10 @@ def run_training(args) -> dict:
             eval_step, state.params, val_batches, vk, epoch_logger,
             beta=beta, gamma=args.gamma,
         )
+
+        if args.profile and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to {Path(args.log_dir) / 'profile'}")
 
         metrics = epoch_logger.get_averages()
         history.update(**metrics)
@@ -207,6 +230,15 @@ def run_training(args) -> dict:
                     writer, x, rotated_recon, epoch,
                     canonical=canonical,
                     canonical_input=rotate_to_canonical(x, theta),
+                )
+
+        if args.resume or args.checkpoint_every:
+            from livae_tpu.utils.orbax_io import save_train_state
+
+            if args.checkpoint_every == 0 or (epoch + 1) % max(args.checkpoint_every, 1) == 0:
+                save_train_state(
+                    resume_dir, epoch, state,
+                    {"epoch": epoch, "best_val": best_val, "seed": args.seed},
                 )
 
         val_loss = val_metrics.get("val_loss", float("inf"))
@@ -274,6 +306,23 @@ def build_argparser() -> argparse.ArgumentParser:
         "--checkpoint", type=str, default="checkpoints/rvae_best.pt"
     )
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--resume",
+        action="store_true",
+        help="Resume from the orbax fast checkpoint (full optimizer state)",
+    )
+    parser.add_argument("--resume-dir", type=str, default=None)
+    parser.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=0,
+        help="Write an orbax resume checkpoint every N epochs (0: only with --resume)",
+    )
+    parser.add_argument(
+        "--profile",
+        action="store_true",
+        help="Capture a jax.profiler trace of the second epoch to <log-dir>/profile",
+    )
     parser.add_argument(
         "--exact-resample",
         action="store_true",
