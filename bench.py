@@ -40,7 +40,6 @@ WARMUP = 2
 
 def main() -> None:
     import contextlib
-    import numpy as np
     import jax
     import jax.numpy as jnp
 

@@ -36,7 +36,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from ..ops.resample import _fractional_shift, _logroll_gather, rotate_image_fast
+from ..ops.resample import _logroll_gather, rotate_image_fast
 
 __all__ = ["AugmentConfig", "extract_batch", "extract_batch_paired", "pad_frames"]
 

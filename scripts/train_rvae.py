@@ -23,8 +23,6 @@ import time
 from datetime import datetime
 from pathlib import Path
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
@@ -39,7 +37,6 @@ from livae_tpu.train.engine import (
     log_scalar_metrics_tensorboard,
     make_fused_rvae_train_step,
     make_rvae_eval_step,
-    train_rvae_one_epoch,
 )
 from livae_tpu.train.state import (
     TrainState,
