@@ -41,6 +41,7 @@ __all__ = [
     "make_train_step",
     "make_rvae_train_step",
     "make_fused_rvae_train_step",
+    "make_fused_vae_train_step",
     "make_fused_encode",
     "make_eval_step",
     "make_rvae_eval_step",
@@ -330,6 +331,63 @@ def make_fused_rvae_train_step(
         )
         metrics = dict(zip(metric_names, acc / n_sub))
         return state, metrics
+
+    return step
+
+
+def make_fused_vae_train_step(
+    model,
+    tx,
+    *,
+    patch_size: int,
+    padding: int,
+    cfg,
+    margin: int,
+    grad_max_norm: float = 5.0,
+    normalize: bool = True,
+):
+    """Whole-epoch fused plain-VAE training (unpaired batches, VAELoss).
+
+    Same execution model as make_fused_rvae_train_step: extraction +
+    optimizer steps in one dispatch. Returns jitted
+    step(state, frames_padded, img_idx, coords, idx_batches, key, beta, gamma).
+    """
+    from ..data.pipeline import _extract_batch_impl as extract_batch
+
+    def loss_fn(params, x, key, beta):
+        recon, mu, logvar = model.apply(params, x, rngs={"sample": key})
+        total, rl, kl = vae_loss(recon, x, mu, logvar, beta=1.0)
+        total = rl + beta * kl
+        return total, (rl, kl)
+
+    metric_names = ("loss", "recon_loss", "kld_loss", "grad_norm")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, frames_padded, img_idx, coords, idx_batches, key, beta, gamma):
+        n_sub = idx_batches.shape[0]
+
+        def body(i, carry):
+            state, acc = carry
+            k = jax.random.fold_in(key, i)
+            ke, ks = jax.random.split(k)
+            idx = idx_batches[i]
+            x = extract_batch(
+                frames_padded, img_idx[idx], coords[idx], ke,
+                patch_size, padding, cfg=cfg, normalize=normalize, margin=margin,
+            )
+            (total, (rl, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, x, ks, beta
+            )
+            grads, gnorm = _clip_by_global_norm(grads, grad_max_norm)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+            return state, acc + jnp.stack([total, rl, kl, gnorm])
+
+        state, acc = jax.lax.fori_loop(
+            0, n_sub, body, (state, jnp.zeros(len(metric_names)))
+        )
+        return state, dict(zip(metric_names, acc / n_sub))
 
     return step
 

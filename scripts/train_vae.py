@@ -28,8 +28,7 @@ from livae_tpu.train.engine import (
     log_reconstructions_tensorboard,
     log_scalar_metrics_tensorboard,
     make_eval_step,
-    make_train_step,
-    train_one_epoch,
+    make_fused_vae_train_step,
 )
 from livae_tpu.train.state import TrainState, cosine_warm_restarts, make_optimizer
 from livae_tpu.utils.checkpoint import save_reference_checkpoint, vae_spec
@@ -74,7 +73,12 @@ def run_training(args) -> dict:
     tx = make_optimizer(schedule, optimizer="adam")
     state = TrainState.create(params, tx)
 
-    train_step = make_train_step(model, tx, grad_max_norm=5.0)
+    train_step = make_fused_vae_train_step(
+        model, tx,
+        patch_size=args.patch_size, padding=args.padding,
+        cfg=dataset.transform, margin=dataset._margin, grad_max_norm=5.0,
+    )
+    frames_padded, img_idx_dev, coords_dev, _ = dataset.device_site_table
     eval_step = make_eval_step(model)
 
     writer = None
@@ -99,11 +103,16 @@ def run_training(args) -> dict:
 
         logger = MetricLogger()
         t0 = time.time()
-        train_batches = (
-            dataset.batch_at(chunk, jax.random.fold_in(bk, i))
-            for i, chunk in enumerate(batched(train_idx, args.batch_size))
+        kperm, kstep = jax.random.split(ek)
+        perm = jax.random.permutation(kperm, len(train_idx))
+        steps = len(train_idx) // args.batch_size
+        idx_batches = jnp.asarray(train_idx)[perm[: steps * args.batch_size]].reshape(
+            steps, args.batch_size
         )
-        state = train_one_epoch(train_step, state, train_batches, ek, logger, beta=beta)
+        state, train_metrics = train_step(
+            state, frames_padded, img_idx_dev, coords_dev, idx_batches, kstep, beta, 0.0
+        )
+        logger.update(**{f"train_{k}": float(v) for k, v in train_metrics.items()})
         train_time = time.time() - t0
         total_patches += steps_per_epoch * args.batch_size
 
