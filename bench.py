@@ -1,11 +1,14 @@
 #!/usr/bin/env python
-"""Headline benchmark: rVAE train+encode patches/sec/chip on MoS2 HAADF.
+"""Headline benchmark: sustained rVAE train+encode patches/sec/chip.
 
 Runs the production configuration (patch 128, latent 16, the reference's
-flagship rVAE path) end to end on device: jitted paired patch extraction
-from a device-resident synthetic MoS2 frame, the full paired train step
-(forward, cycle + canonical losses, grad, AdamW), and the batched encode
-pass (the visualization/analysis half of the metric).
+flagship rVAE path) end to end on device and times FULL EPOCHS, not
+bursts (VERDICT.md round-1 weak #6): each measured epoch is the fused
+whole-epoch train step (jitted paired extraction from device-resident
+synthetic MoS2 frames + all optimizer steps in one dispatch), the fused
+paired eval over the val split, and the host metric readback — exactly
+the per-epoch work scripts/train_rvae.py does. The encode phase is the
+fused batched encode (the visualization/analysis half of the metric).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "patches/sec", "vs_baseline": N}
@@ -15,8 +18,9 @@ train+encode throughput on this host (6.8 patches/sec, torch-cpu;
 see BASELINE.md for methodology and the hardware-asymmetry note).
 
 Timing notes: on the tunneled TPU, jax.block_until_ready does not block,
-so every measurement syncs via host readback of a scalar; steps are
-chained so the readback cost amortizes.
+so every measurement syncs via host readback of a scalar — which the
+epoch loop does anyway (metrics), making the timed region the honest
+sustained cost.
 """
 
 from __future__ import annotations
@@ -33,20 +37,26 @@ TORCH_REFERENCE_BASELINE = 6.8  # patches/sec, measured — BASELINE.md
 PATCH = 128
 LATENT = 16
 BATCH = 512
-TRAIN_STEPS = 12
+STEPS_PER_EPOCH = 12
+EPOCHS = 2
+VAL_BATCHES = 2
 ENCODE_STEPS = 12
-WARMUP = 2
 
 
 def main() -> None:
     import contextlib
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset
     from livae_tpu.data.synthetic import synthetic_mos2_frame
     from livae_tpu.models.rvae import RVAE
-    from livae_tpu.train.engine import make_fused_encode, make_fused_rvae_train_step
+    from livae_tpu.train.engine import (
+        make_fused_encode,
+        make_fused_rvae_eval,
+        make_fused_rvae_train_step,
+    )
     from livae_tpu.train.state import TrainState, make_optimizer
 
     frame, _ = synthetic_mos2_frame(size=1024, spacing=40.0, seed=0)
@@ -68,52 +78,64 @@ def main() -> None:
         margin=dataset._margin,
         canonical_weight=0.2, grad_max_norm=20.0,
     )
+    fused_eval = make_fused_rvae_eval(
+        model, patch_size=PATCH, padding=32, cfg=dataset.transform,
+        margin=dataset._margin, canonical_weight=0.2,
+    )
+    encode = make_fused_encode(model, patch_size=PATCH, padding=32, margin=dataset._margin)
     frames_padded, img_idx_dev, coords_dev, _ = dataset.device_site_table
 
-    encode = make_fused_encode(model, patch_size=PATCH, padding=32, margin=dataset._margin)
-
-    def sync(x):
-        return float(jnp.sum(jax.tree.leaves(x)[0]))
-
-    def train_chunk(state, n_steps, seed0):
+    def epoch(state, seed0):
+        """One production epoch: fused train + fused eval + host readback."""
         k = jax.random.fold_in(key, seed0)
-        idx = jax.random.randint(k, (n_steps, BATCH), 0, n)
-        state, metrics = step(
-            state, frames_padded, img_idx_dev, coords_dev, idx, k, 10.0, 10.0
+        ke, kv = jax.random.split(k)
+        idx = jax.random.randint(ke, (STEPS_PER_EPOCH, BATCH), 0, n)
+        state, tm = step(
+            state, frames_padded, img_idx_dev, coords_dev, idx, ke, 10.0, 10.0
         )
+        vidx = jax.random.randint(kv, (VAL_BATCHES, BATCH), 0, n)
+        vm = fused_eval(
+            state.params, frames_padded, img_idx_dev, coords_dev, vidx, kv, 10.0, 10.0
+        )
+        # host readback = the epoch sync point (logging path)
+        metrics = {k2: float(np.mean(np.asarray(v))) for k2, v in vm.items()}
+        metrics["train_loss"] = float(tm["loss"])
         return state, metrics
 
-    # warmup/compile — MUST use the same loop length as the timed chunk,
-    # or the timed call recompiles and the compile is billed as runtime
-    state, m = train_chunk(state, TRAIN_STEPS, 0)
-    sync(m["loss"])
+    # warmup/compile with the exact shapes used in the timed region
+    state, m = epoch(state, 0)
+    assert np.isfinite(m["train_loss"])
 
     t0 = time.time()
-    state, m = train_chunk(state, TRAIN_STEPS, 100)
-    sync(m["loss"])
+    for e in range(EPOCHS):
+        state, m = epoch(state, 100 + e)
     train_time = time.time() - t0
-    train_pps = TRAIN_STEPS * BATCH / train_time
+    train_patches = EPOCHS * STEPS_PER_EPOCH * BATCH
+    train_pps = train_patches / train_time
 
-    # encode path (fused extraction + encoder forward, one dispatch)
+    # encode sweep (fused extraction + encoder forward, one dispatch)
     eidx = jax.random.randint(jax.random.fold_in(key, 500), (ENCODE_STEPS, BATCH), 0, n)
     mu, logvar, theta = encode(state.params, frames_padded, img_idx_dev, coords_dev, eidx)
-    sync(mu)
+    float(jnp.sum(mu))
     t0 = time.time()
     mu, logvar, theta = encode(state.params, frames_padded, img_idx_dev, coords_dev, eidx)
-    sync(mu)
+    float(jnp.sum(mu))
     encode_time = time.time() - t0
-    encode_pps = ENCODE_STEPS * BATCH / encode_time
+    encode_patches = ENCODE_STEPS * BATCH
+    encode_pps = encode_patches / encode_time
 
-    combined = (TRAIN_STEPS + ENCODE_STEPS) * BATCH / (train_time + encode_time)
+    combined = (train_patches + encode_patches) / (train_time + encode_time)
 
     result = {
-        "metric": "rvae_train_encode_patches_per_sec_per_chip",
+        "metric": "rvae_train_encode_patches_per_sec_per_chip_sustained",
         "value": round(combined, 1),
         "unit": "patches/sec",
         "vs_baseline": round(combined / TORCH_REFERENCE_BASELINE, 1),
         "detail": {
-            "train_patches_per_sec": round(train_pps, 1),
+            "train_patches_per_sec_sustained": round(train_pps, 1),
             "encode_patches_per_sec": round(encode_pps, 1),
+            "epochs_timed": EPOCHS,
+            "epoch_includes": "fused train + fused val eval + host metric readback",
             "batch": BATCH,
             "patch": PATCH,
             "baseline": "torch-cpu reference 6.8 patches/sec (BASELINE.md)",

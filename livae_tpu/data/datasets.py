@@ -181,8 +181,10 @@ class AdaptiveLatticeDataset(_SiteDatasetBase):
         padding: int = 48,
         transform: AugmentConfig | None = default_transform,
         detection_threshold: float = 0.6,
+        device_peaks: bool = False,
     ):
         self.detection_threshold = detection_threshold
+        self.device_peaks = device_peaks
         super().__init__(images, patch_size, padding, transform)
 
     def _build_sites(self):
@@ -195,6 +197,7 @@ class AdaptiveLatticeDataset(_SiteDatasetBase):
                 self.padding,
                 self.detection_threshold,
                 lattice_spacing=spacing,
+                device_peaks=self.device_peaks,
             )
             n_atoms = int((labels == 1).sum())
             print(
@@ -208,8 +211,13 @@ class AdaptiveLatticeDataset(_SiteDatasetBase):
 class PairedAdaptiveLatticeDataset(AdaptiveLatticeDataset):
     """(patch, rotated_patch, angle_rad) triplets for STN cycle training.
 
-    Reference: src/livae/data.py:616-735.
+    Reference: src/livae/data.py:616-735. `normalize=False` skips the
+    per-patch min-max (BASELINE.md accuracy-program ablation).
     """
+
+    def __init__(self, *args, normalize: bool = True, **kwargs):
+        self._NORMALIZE = normalize
+        super().__init__(*args, **kwargs)
 
     def sample_batch(self, key: jax.Array, batch_size: int):
         kidx, kaug = jax.random.split(key)
@@ -232,6 +240,7 @@ class PairedAdaptiveLatticeDataset(AdaptiveLatticeDataset):
             self.padding,
             cfg=self.transform,
             margin=self._margin,
+            normalize=self._NORMALIZE,
         )
 
     def iter_epoch(self, key: jax.Array, batch_size: int, drop_last: bool = True):
@@ -277,6 +286,50 @@ class PatchDataset(_SiteDatasetBase):
                 rotation=True,
             )
         super().__init__(images, patch_size, padding, transform)
+
+    def plot_peaks(
+        self,
+        img_idx: int,
+        size: int | None = None,
+        offset: tuple[int, int] = (0, 0),
+        save_path: str | None = None,
+    ) -> None:
+        """Plot detected atom positions overlaid on the (filtered) image.
+
+        Debug visualization with the reference's semantics (reference:
+        src/livae/data.py:252-289): optional square crop of `size` pixels
+        at `offset` (y, x), detected peaks re-based into the crop, red
+        scatter overlay, axes off. `save_path` writes a PNG instead of
+        showing (headless-friendly addition).
+        """
+        import matplotlib
+
+        if save_path is not None:
+            matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        img = self.images[img_idx]
+        coords = np.asarray(self.atom_coords[img_idx])
+        if size is not None:
+            y_off, x_off = offset
+            img = img[y_off : y_off + size, x_off : x_off + size]
+            keep = (
+                (coords[:, 0] >= y_off)
+                & (coords[:, 0] < y_off + size)
+                & (coords[:, 1] >= x_off)
+                & (coords[:, 1] < x_off + size)
+            )
+            coords = coords[keep] - np.array([y_off, x_off])
+        plt.figure(figsize=(6, 6))
+        plt.imshow(img, cmap="gray")
+        if len(coords):
+            plt.scatter(coords[:, 1], coords[:, 0], s=30, c="red", marker="o", alpha=0.8)
+        plt.axis("off")
+        if save_path is not None:
+            plt.savefig(save_path, bbox_inches="tight", dpi=120)
+            plt.close()
+        else:
+            plt.show()
 
     def _build_sites(self):
         self.sample_coords = []

@@ -259,13 +259,17 @@ def _extract_batch_paired_impl(
     padding: int = 48,
     cfg: AugmentConfig | None = AugmentConfig(),
     margin: int | None = None,
+    normalize: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Paired extraction: (patch, rotated_patch, angle_rad).
 
     Mirrors PairedAdaptiveLatticeDataset (reference: src/livae/data.py:
     616-735): non-rotation transforms on the padded patch, one random
     angle U(0, 2pi), rotation applied to a padded copy, both center-cropped
-    and independently min-max normalized.
+    and independently min-max normalized (normalize=False skips the
+    per-patch min-max — the ablation BASELINE.md's accuracy program runs,
+    since per-patch normalization erases the absolute-intensity signal
+    that separates vacancies).
     """
     P2 = patch_size + 2 * padding
     roi = P2 + 16
@@ -293,9 +297,12 @@ def _extract_batch_paired_impl(
     # the relation cycle_consistency_loss expects.
     rot_big = rotate_image_fast(p_big[..., None], angle, padding_mode="zeros")[..., 0]
 
-    patch = _minmax_normalize(_center_crop_b(p_big, patch_size))[..., None]
-    rotated = _minmax_normalize(_center_crop_b(rot_big, patch_size))[..., None]
-    return patch, rotated, angle
+    patch = _center_crop_b(p_big, patch_size)
+    rotated = _center_crop_b(rot_big, patch_size)
+    if normalize:
+        patch = _minmax_normalize(patch)
+        rotated = _minmax_normalize(rotated)
+    return patch[..., None], rotated[..., None], angle
 
 
 # Public jitted entry points. The un-jitted _impl variants exist for callers
@@ -310,6 +317,6 @@ extract_batch = functools.partial(
 extract_batch_paired = functools.partial(
     jax.jit(
         _extract_batch_paired_impl,
-        static_argnames=("patch_size", "padding", "cfg", "margin"),
+        static_argnames=("patch_size", "padding", "cfg", "margin", "normalize"),
     )
 )

@@ -165,6 +165,36 @@ def _best_lattice_vectors(atoms: np.ndarray, k: int = 7) -> tuple[np.ndarray, np
     return bv1, bv2
 
 
+def detect_atoms_device(
+    img: np.ndarray, min_distance: int, threshold_rel: float = 0.01
+) -> np.ndarray:
+    """On-device atom detection (jitted NMS + 5x5 refinement) -> host coords.
+
+    The device analog of get_clean_peaks for the dataset build: detection
+    runs on the accelerator next to filtering. The static top-k table is
+    grown on saturation so no peak is silently dropped.
+    """
+    from .peaks import detect_peaks_tpu
+
+    img_dev = jnp.asarray(img, dtype=jnp.float32)
+    # Chebyshev window bound: peaks are >= min_distance apart
+    hard_cap = int(
+        (img.shape[0] // max(min_distance, 1) + 1)
+        * (img.shape[1] // max(min_distance, 1) + 1)
+    )
+    max_peaks = min(16384, hard_cap)
+    while True:
+        coords, valid = detect_peaks_tpu(
+            img_dev, min_distance=min_distance, threshold_rel=threshold_rel,
+            max_peaks=max_peaks,
+        )
+        valid = np.asarray(valid)
+        if not valid.all() or max_peaks >= hard_cap:
+            break
+        max_peaks = min(hard_cap, max_peaks * 4)
+    return np.asarray(coords)[valid].astype(np.float64)
+
+
 def build_adaptive_lattice(
     img: np.ndarray,
     patch_size: int,
@@ -172,20 +202,31 @@ def build_adaptive_lattice(
     detection_threshold: float = 0.6,
     lattice_spacing: float | None = None,
     atom_coords: np.ndarray | None = None,
+    device_peaks: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, float]:
     """Full adaptive-lattice site table for one preprocessed frame.
 
     Reference: src/livae/data.py:338-473. Returns (sites [N, 2] float64
     (y, x), labels [N] int64 {1 atom, 0 vacancy}, lattice_spacing).
+    device_peaks=True runs atom detection on the accelerator
+    (detect_peaks_tpu: reduce_window NMS + top-k + jitted refinement)
+    instead of the host maximum-filter path; the site tables agree
+    (tests/test_lattice.py) because window NMS implies the same Euclidean
+    min-distance spacing on well-separated lattice peaks.
     """
     img = np.asarray(img)
     if lattice_spacing is None:
         lattice_spacing = estimate_lattice_constant(img)
 
     if atom_coords is None:
-        atom_coords = get_clean_peaks(
-            img, min_distance=int(lattice_spacing * 0.15)
-        )
+        if device_peaks:
+            atom_coords = detect_atoms_device(
+                img, min_distance=int(lattice_spacing * 0.15)
+            )
+        else:
+            atom_coords = get_clean_peaks(
+                img, min_distance=int(lattice_spacing * 0.15)
+            )
 
     half_patch = patch_size // 2 + padding
     if len(atom_coords) == 0:

@@ -37,6 +37,8 @@ __all__ = [
     "shard_batch",
     "shard_train_step",
     "shard_eval_step",
+    "fused_epoch_shardings",
+    "resolve_num_devices",
 ]
 
 DATA_AXIS = "data"
@@ -105,3 +107,34 @@ def shard_eval_step(eval_fn: Callable, mesh: Mesh, n_batch_args: int = 1) -> Cal
     bat = _batch_spec(mesh)
     in_shardings = (repl,) + (bat,) * n_batch_args + (repl, repl, repl)
     return jax.jit(eval_fn, in_shardings=in_shardings, out_shardings=repl)
+
+
+def fused_epoch_shardings(mesh: Mesh) -> tuple[Any, Any]:
+    """(in_shardings, out_shardings) for the fused whole-epoch steps.
+
+    Fused-step signature: step(state, frames_padded, img_idx, coords,
+    idx_batches[S, B], key, beta, gamma) -> (state, metrics). Sharding
+    the batch axis of `idx_batches` shards the whole chain — the gather
+    of per-site coords, the ROI extraction, and the model forward all
+    inherit the batch sharding via GSPMD, and the global-mean loss makes
+    gradients come out psum-reduced over ICI. Everything else (params,
+    opt state, the device-resident frames, RNG key, scalars) replicates.
+    """
+    repl = NamedSharding(mesh, P())
+    idx = NamedSharding(mesh, P(None, DATA_AXIS))  # [steps, batch]
+    in_shardings = (repl, repl, repl, repl, idx, repl, repl, repl)
+    out_shardings = (repl, repl)
+    return in_shardings, out_shardings
+
+
+def resolve_num_devices(spec: str | int | None) -> int:
+    """Parse a --num-devices flag value: int, "auto" (all local), or None (1)."""
+    if spec is None:
+        return 1
+    if isinstance(spec, str):
+        if spec.lower() == "auto":
+            return jax.local_device_count()
+        spec = int(spec)
+    if spec < 1:
+        raise ValueError(f"--num-devices must be >= 1 or 'auto', got {spec}")
+    return spec

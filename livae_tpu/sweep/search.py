@@ -12,28 +12,44 @@ native engine with the same semantics and artifacts:
   asynchronous successive halving on reported epochs.
 * `PBTScheduler(perturbation_interval, hyperparam_mutations, quantile)` —
   bottom-quantile trials exploit a top-quantile trial's config+weights
-  and explore by perturbing mutated hyperparameters.
-* `run_search(trainable, param_space, num_samples, scheduler, ...)` —
-  executes trials (sequentially on one chip; Ray backend used
-  automatically when importable), aggregates `results.json`, exports the
-  best config.
+  and explore by perturbing mutated hyperparameters. With concurrent
+  execution the population is LIVE: laggards exploit peers that are
+  still running, the dynamics the reference's Ray PBT provides.
+* `TPESearcher` — a native tree-structured Parzen estimator (the
+  HyperOptSearch equivalent; hyperopt itself is absent from this image):
+  univariate Parzen mixtures over good/bad observations, candidates
+  scored by l(x)/g(x). search_alg="tpe" (or "hyperopt", which uses the
+  hyperopt package when importable and this implementation otherwise).
+* `run_search(trainable, param_space, num_samples, scheduler, ...,
+  max_concurrent=N, executor="thread"|"process")` — executes trials,
+  aggregates `results.json`, exports the best config.
+
+Execution backends (the TPU analog of Ray's fractional-GPU packing,
+reference train_rvae_raytune.py:374-395):
+  * sequential — max_concurrent=1 (default), one trial at a time.
+  * thread    — a pool of worker threads shares the local chip; trial
+    dispatches interleave on device while host-side work (dataset reuse,
+    checkpoint I/O, metric handling) overlaps. Scheduler and searcher
+    state are lock-protected.
+  * process   — spawn-based process per trial slot with per-slot
+    environment pinning (`trial_env(slot) -> {env}`), the device-
+    visibility analog of `tune.with_resources`: on a multi-chip host each
+    slot pins one TPU chip via JAX device visibility env vars. Trials
+    talk to the parent scheduler over pipes (report -> continue / stop /
+    exploit). Requires a picklable (module-level) trainable.
 
 Trial protocol: `trainable(config, report)` calls
 `report(epoch=..., **metrics, checkpoint=state_or_path)` once per epoch;
 report() raises `StopTrial` when the scheduler kills the trial, and may
 return a PBT exploit payload {"config": ..., "checkpoint": ...} that the
 trainable should adopt.
-
-TPU scale-out note: trials are sequential per chip here (one chip in this
-sandbox); on a pod each host runs the same engine on its own chip subset,
-which matches the reference's fractional-GPU packing role (SURVEY.md §2c
-"sweep parallelism").
 """
 
 from __future__ import annotations
 
 import json
 import math
+import threading
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -49,6 +65,8 @@ __all__ = [
     "StopTrial",
     "ASHAScheduler",
     "PBTScheduler",
+    "RandomSearcher",
+    "TPESearcher",
     "Trial",
     "run_search",
     "get_best_result",
@@ -174,6 +192,8 @@ class PBTScheduler:
     353-363). At each perturbation interval, a bottom-quantile trial
     copies a top-quantile trial's config and checkpoint and perturbs each
     mutated hyperparameter by x0.8 / x1.2 (or resamples with p=0.25).
+    Donors are drawn from the LIVE population: with concurrent executors
+    a running peer's latest reported metric and checkpoint are used.
     """
 
     def __init__(
@@ -231,9 +251,404 @@ class PBTScheduler:
         return None
 
 
+# ---------------------------------------------------------------------------
+# Search algorithms (config suggesters)
+# ---------------------------------------------------------------------------
+
+
+class RandomSearcher:
+    """IID sampling from the search space (Ray's BasicVariantGenerator)."""
+
+    def __init__(self, param_space: dict, seed: int = 0):
+        self.param_space = param_space
+        self._rng = np.random.default_rng(seed)
+
+    def suggest(self, observations: list[tuple[dict, float]]) -> dict:
+        return sample_config(self.param_space, self._rng)
+
+
+def _norm_logpdf_mix(u: float, centers: np.ndarray, bw: float) -> float:
+    """log pdf of a Parzen mixture (Gaussians at `centers` + uniform prior)."""
+    if len(centers) == 0:
+        return 0.0  # uniform on [0, 1]
+    z = (u - centers) / bw
+    comp = np.exp(-0.5 * z * z) / (bw * math.sqrt(2 * math.pi))
+    pdf = (np.sum(comp) + 1.0) / (len(centers) + 1)  # +1: uniform prior, pdf 1
+    return float(np.log(max(pdf, 1e-300)))
+
+
+class TPESearcher:
+    """Native tree-structured Parzen estimator (HyperOptSearch equivalent).
+
+    Univariate TPE (hyperopt's default factorization): observations are
+    split into good (top `gamma` fraction by objective) and bad; for each
+    numeric parameter a Parzen mixture is fit over each group in the
+    parameter's natural space (log for loguniform) normalized to [0, 1],
+    candidates are drawn from the good mixture and the one maximizing
+    l(x)/g(x) wins. Categorical parameters use smoothed count ratios.
+    The first `n_startup` suggestions are random.
+    """
+
+    def __init__(
+        self,
+        param_space: dict,
+        metric: str = "loss",
+        mode: str = "min",
+        seed: int = 0,
+        n_startup: int = 8,
+        gamma: float = 0.25,
+        n_candidates: int = 24,
+    ):
+        self.param_space = param_space
+        self.metric = metric
+        self.mode = mode
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self._rng = np.random.default_rng(seed)
+
+    def _split(self, observations: list[tuple[dict, float]]):
+        vals = np.asarray([v for _, v in observations], dtype=float)
+        if self.mode == "max":
+            vals = -vals
+        order = np.argsort(vals, kind="stable")
+        # hyperopt's sqrt-sized elite set: only the genuinely best points
+        # define l(x); a linear fraction dilutes them and stalls refinement.
+        # Ties at the cutoff are all included — otherwise equally-optimal
+        # points land in the bad set and poison categorical ratios.
+        n_good = max(2, int(math.ceil(self.gamma * math.sqrt(len(vals)))))
+        cutoff = vals[order[n_good - 1]]
+        good_idx = {int(i) for i in order if vals[i] <= cutoff}
+        good = [observations[i][0] for i in range(len(observations)) if i in good_idx]
+        bad = [observations[i][0] for i in range(len(observations)) if i not in good_idx]
+        return good, bad
+
+    def _suggest_numeric(self, sampler, good_vals, bad_vals):
+        log = isinstance(sampler, loguniform)
+        lo, hi = float(sampler.low), float(sampler.high)
+        a, b = (math.log(lo), math.log(hi)) if log else (lo, hi)
+
+        def to_unit(xs):
+            xs = np.asarray(xs, dtype=float)
+            if log:
+                xs = np.log(np.clip(xs, lo, hi))
+            return (xs - a) / (b - a)
+
+        g = to_unit(good_vals)
+        bd = to_unit(bad_vals)
+
+        def bw(xs):
+            # hyperopt-style floor range/(n+2): wide early mixtures make the
+            # density argmax bisect the elite points (directed refinement);
+            # a collapsing bandwidth freezes the search on a mediocre cluster
+            return float(np.clip(np.std(xs), 1.0 / (len(xs) + 2), 0.5))
+
+        bw_g, bw_b = bw(g), bw(bd)
+
+        best_u, best_score = None, -math.inf
+        for _ in range(self.n_candidates):
+            if len(g) and self._rng.random() < 0.9:
+                c = float(g[int(self._rng.integers(len(g)))])
+                u = float(np.clip(self._rng.normal(c, bw_g), 0.0, 1.0))
+            else:  # exploration draw from the prior
+                u = float(self._rng.uniform())
+            score = _norm_logpdf_mix(u, g, bw_g) - _norm_logpdf_mix(u, bd, bw_b)
+            if score > best_score:
+                best_u, best_score = u, score
+        x = a + best_u * (b - a)
+        return float(math.exp(x)) if log else float(x)
+
+    def _suggest_choice(self, sampler, good_vals, bad_vals):
+        values = list(sampler.values)
+        cg = np.array([1.0 + sum(v == gv for gv in good_vals) for v in values])
+        cb = np.array([1.0 + sum(v == bv for bv in bad_vals) for v in values])
+        pg = cg / cg.sum()
+        pb = cb / cb.sum()
+        # sample candidates from the good distribution, score by ratio
+        idx = self._rng.choice(len(values), size=self.n_candidates, p=pg)
+        best = max(set(idx.tolist()), key=lambda i: pg[i] / pb[i])
+        v = values[best]
+        return v.item() if hasattr(v, "item") else v
+
+    def suggest(self, observations: list[tuple[dict, float]]) -> dict:
+        if len(observations) < self.n_startup:
+            return sample_config(self.param_space, self._rng)
+        good, bad = self._split(observations)
+        out = {}
+        for k, sampler in self.param_space.items():
+            if not hasattr(sampler, "sample"):
+                out[k] = sampler
+                continue
+            gv = [c[k] for c in good if k in c]
+            bv = [c[k] for c in bad if k in c]
+            if isinstance(sampler, choice):
+                out[k] = self._suggest_choice(sampler, gv, bv)
+            elif isinstance(sampler, (loguniform, uniform)) and gv:
+                out[k] = self._suggest_numeric(sampler, gv, bv)
+            else:
+                out[k] = sampler.sample(self._rng)
+        return out
+
+
+def _make_searcher(search_alg, param_space, metric, mode, seed):
+    if search_alg in ("hyperopt", "tpe"):
+        if search_alg == "hyperopt":
+            try:
+                import hyperopt  # noqa: F401
+
+                # hyperopt exists: still use the native TPE (identical
+                # algorithm family, no extra process model) but say so.
+                print("search_alg=hyperopt: using native TPE implementation")
+            except ImportError:
+                print("hyperopt not installed: using native TPE implementation")
+        return TPESearcher(param_space, metric=metric, mode=mode, seed=seed)
+    return RandomSearcher(param_space, seed=seed)
+
+
 def _random_search_configs(param_space, num_samples, seed):
     rng = np.random.default_rng(seed)
     return [sample_config(param_space, rng) for _ in range(num_samples)]
+
+
+# ---------------------------------------------------------------------------
+# Execution backends
+# ---------------------------------------------------------------------------
+
+
+def _finalize_status(trial: Trial, scheduler) -> None:
+    """StopTrial at the scheduler's max_t is completion, not a kill."""
+    max_t = getattr(scheduler, "max_t", None)
+    last_epoch = trial.history[-1]["epoch"] if trial.history else 0
+    trial.status = "done" if (max_t and last_epoch >= max_t) else "stopped"
+
+
+def _run_threaded(
+    trainable,
+    searcher,
+    num_samples,
+    scheduler,
+    metric,
+    mode,
+    max_concurrent,
+) -> list[Trial]:
+    """Thread-pool executor (also the sequential path with 1 worker).
+
+    All scheduler/searcher/trial mutations happen under one lock; the
+    trainable itself runs unlocked, so device work from different trials
+    overlaps. PBT sees the live population.
+    """
+    lock = threading.RLock()
+    trials: list[Trial] = []
+    observations: list[tuple[dict, float]] = []
+    if isinstance(scheduler, PBTScheduler):
+        scheduler._population = trials
+
+    def next_trial() -> Trial | None:
+        with lock:
+            if len(trials) >= num_samples:
+                return None
+            config = searcher.suggest(list(observations))
+            trial = Trial(trial_id=len(trials), config=config, status="running")
+            trials.append(trial)
+            return trial
+
+    def run_one(trial: Trial) -> None:
+        t0 = time.time()
+
+        def report(epoch: int, checkpoint: Any = None, **metrics):
+            with lock:
+                entry = {"epoch": epoch, **metrics}
+                trial.history.append(entry)
+                if checkpoint is not None:
+                    trial.checkpoint = checkpoint
+                if scheduler is not None:
+                    decision = scheduler.on_report(trial, epoch, metrics)
+                    if decision is False:
+                        raise StopTrial()
+                    if isinstance(decision, dict):
+                        trial.config.update(decision["config"])
+                        return decision
+            return None
+
+        try:
+            trainable(dict(trial.config), report)
+            trial.status = "done"
+        except StopTrial:
+            _finalize_status(trial, scheduler)
+        except Exception as e:  # trial failure tolerated, like Ray
+            trial.status = "error"
+            trial.error = f"{type(e).__name__}: {e}"
+            print(f"Trial {trial.trial_id} failed: {trial.error}")
+        with lock:
+            if scheduler is not None:
+                scheduler.on_trial_end(trial, trials)
+            val = trial.best(metric, mode)
+            if val is not None and trial.status in ("done", "stopped"):
+                observations.append((dict(trial.config), val))
+        dt = time.time() - t0
+        last = trial.last(metric)
+        print(
+            f"Trial {trial.trial_id}: {trial.status} after "
+            f"{len(trial.history)} epochs ({dt:.0f}s), {metric}="
+            f"{last if last is not None else 'n/a'}"
+        )
+
+    def worker():
+        while True:
+            trial = next_trial()
+            if trial is None:
+                return
+            run_one(trial)
+
+    n_workers = max(1, min(max_concurrent, num_samples))
+    if n_workers == 1:
+        worker()
+    else:
+        threads = [
+            threading.Thread(target=worker, name=f"sweep-worker-{i}")
+            for i in range(n_workers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    return trials
+
+
+def _process_trial_entry(conn, trainable, config, env):
+    """Child-process entry: apply env pinning, run the trial, talk over the pipe."""
+    import os
+
+    if env:
+        os.environ.update({k: str(v) for k, v in env.items()})
+
+    def report(epoch: int, checkpoint: Any = None, **metrics):
+        conn.send(("report", epoch, metrics, checkpoint))
+        kind, payload = conn.recv()
+        if kind == "stop":
+            raise StopTrial()
+        if kind == "exploit":
+            config.update(payload["config"])
+            return payload
+        return None
+
+    try:
+        trainable(config, report)
+        conn.send(("done", None, None, None))
+    except StopTrial:
+        conn.send(("stop_trial", None, None, None))
+    except Exception as e:  # noqa: BLE001
+        conn.send(("error", f"{type(e).__name__}: {e}", None, None))
+    finally:
+        conn.close()
+
+
+def _run_processes(
+    trainable,
+    searcher,
+    num_samples,
+    scheduler,
+    metric,
+    mode,
+    max_concurrent,
+    trial_env: Callable[[int], dict] | None,
+) -> list[Trial]:
+    """Process-per-trial executor with per-slot env pinning (spawn).
+
+    The parent is the single scheduler authority: children report over
+    pipes and block for the decision (continue / stop / exploit payload).
+    `trial_env(slot)` supplies the env for each of the `max_concurrent`
+    slots — on a multi-chip host, one TPU chip per slot via device
+    visibility variables. Requires a picklable (module-level) trainable;
+    PBT checkpoints must be paths/values that pickle.
+    """
+    import multiprocessing as mp
+    from multiprocessing.connection import wait as conn_wait
+
+    ctx = mp.get_context("spawn")
+    trials: list[Trial] = []
+    observations: list[tuple[dict, float]] = []
+    if isinstance(scheduler, PBTScheduler):
+        scheduler._population = trials
+
+    live: dict[Any, tuple[Trial, Any, int, float]] = {}  # conn -> (trial, proc, slot, t0)
+    free_slots = list(range(max(1, min(max_concurrent, num_samples))))
+
+    def launch() -> bool:
+        if not free_slots or len(trials) >= num_samples:
+            return False
+        slot = free_slots.pop(0)
+        config = searcher.suggest(list(observations))
+        trial = Trial(trial_id=len(trials), config=config, status="running")
+        trials.append(trial)
+        parent_conn, child_conn = ctx.Pipe()
+        env = trial_env(slot) if trial_env else {}
+        proc = ctx.Process(
+            target=_process_trial_entry,
+            args=(child_conn, trainable, dict(config), env),
+            daemon=True,
+        )
+        proc.start()
+        child_conn.close()
+        live[parent_conn] = (trial, proc, slot, time.time())
+        return True
+
+    def finish(conn, status: str, error: str | None = None):
+        trial, proc, slot, t0 = live.pop(conn)
+        conn.close()
+        proc.join(timeout=30)
+        trial.status = status
+        trial.error = error
+        if scheduler is not None:
+            scheduler.on_trial_end(trial, trials)
+        val = trial.best(metric, mode)
+        if val is not None and status in ("done", "stopped"):
+            observations.append((dict(trial.config), val))
+        free_slots.append(slot)
+        last = trial.last(metric)
+        print(
+            f"Trial {trial.trial_id}: {trial.status} after "
+            f"{len(trial.history)} epochs ({time.time() - t0:.0f}s), {metric}="
+            f"{last if last is not None else 'n/a'}"
+        )
+
+    while launch():
+        pass
+    while live:
+        for conn in conn_wait(list(live.keys())):
+            trial = live[conn][0]
+            try:
+                kind, a, b, c = conn.recv()
+            except EOFError:  # child died without a terminal message
+                finish(conn, "error", "child process exited unexpectedly")
+                continue
+            if kind == "report":
+                epoch, metrics, checkpoint = a, b, c
+                trial.history.append({"epoch": epoch, **metrics})
+                if checkpoint is not None:
+                    trial.checkpoint = checkpoint
+                decision = True
+                if scheduler is not None:
+                    decision = scheduler.on_report(trial, epoch, metrics)
+                if decision is False:
+                    conn.send(("stop", None))
+                elif isinstance(decision, dict):
+                    trial.config.update(decision["config"])
+                    conn.send(("exploit", decision))
+                else:
+                    conn.send(("continue", None))
+            elif kind == "done":
+                finish(conn, "done")
+            elif kind == "stop_trial":
+                trial_obj = trial
+                _finalize_status(trial_obj, scheduler)
+                finish(conn, trial_obj.status)
+            elif kind == "error":
+                print(f"Trial {trial.trial_id} failed: {a}")
+                finish(conn, "error", a)
+        while launch():
+            pass
+    return trials
 
 
 def run_search(
@@ -246,67 +661,38 @@ def run_search(
     results_dir: str | Path = "sweep_results",
     seed: int = 0,
     search_alg: str | None = None,
+    max_concurrent: int = 1,
+    executor: str | None = None,
+    trial_env: Callable[[int], dict] | None = None,
 ) -> list[Trial]:
     """Execute the sweep; writes results.json; returns all trials.
 
-    search_alg="hyperopt" uses HyperOptSearch when the package exists and
-    falls back to random search otherwise (it is absent in this image).
+    search_alg: None/"random" for IID sampling, "tpe" for the native TPE,
+    "hyperopt" as a Ray-compatible alias for TPE.
+    max_concurrent: trials in flight at once (1 = sequential).
+    executor: None (auto: sequential when max_concurrent==1, else
+    "thread"), "thread", or "process" (spawned workers with per-slot env
+    pinning via trial_env; needs a module-level trainable).
     """
     results_dir = Path(results_dir)
     results_dir.mkdir(parents=True, exist_ok=True)
 
-    if search_alg == "hyperopt":
-        try:
-            import hyperopt  # noqa: F401
+    searcher = _make_searcher(search_alg, param_space, metric, mode, seed)
+    if executor is None:
+        executor = "sequential" if max_concurrent <= 1 else "thread"
 
-            print("hyperopt available: TPE search")  # pragma: no cover
-        except ImportError:
-            print("hyperopt not installed; falling back to random search")
-
-    configs = _random_search_configs(param_space, num_samples, seed)
-    trials = [Trial(trial_id=i, config=c) for i, c in enumerate(configs)]
-    if isinstance(scheduler, PBTScheduler):
-        scheduler._population = trials
-
-    for trial in trials:
-        trial.status = "running"
-        t0 = time.time()
-
-        def report(epoch: int, checkpoint: Any = None, **metrics):
-            entry = {"epoch": epoch, **metrics}
-            trial.history.append(entry)
-            if checkpoint is not None:
-                trial.checkpoint = checkpoint
-            if scheduler is not None:
-                decision = scheduler.on_report(trial, epoch, metrics)
-                if decision is False:
-                    raise StopTrial()
-                if isinstance(decision, dict):
-                    trial.config.update(decision["config"])
-                    return decision
-            return None
-
-        try:
-            trainable(dict(trial.config), report)
-            trial.status = "done"
-        except StopTrial:
-            # reaching the scheduler's max_t is a completed trial, not a kill
-            max_t = getattr(scheduler, "max_t", None)
-            last_epoch = trial.history[-1]["epoch"] if trial.history else 0
-            trial.status = "done" if (max_t and last_epoch >= max_t) else "stopped"
-        except Exception as e:  # trial failure tolerated, like Ray
-            trial.status = "error"
-            trial.error = f"{type(e).__name__}: {e}"
-            print(f"Trial {trial.trial_id} failed: {trial.error}")
-        if scheduler is not None:
-            scheduler.on_trial_end(trial, trials)
-        dt = time.time() - t0
-        last = trial.last(metric)
-        print(
-            f"Trial {trial.trial_id}: {trial.status} after "
-            f"{len(trial.history)} epochs ({dt:.0f}s), {metric}="
-            f"{last if last is not None else 'n/a'}"
+    if executor == "process":
+        trials = _run_processes(
+            trainable, searcher, num_samples, scheduler, metric, mode,
+            max_concurrent, trial_env,
         )
+    elif executor in ("sequential", "thread"):
+        trials = _run_threaded(
+            trainable, searcher, num_samples, scheduler, metric, mode,
+            1 if executor == "sequential" else max_concurrent,
+        )
+    else:
+        raise ValueError(f"unknown executor {executor!r}")
 
     _write_results(trials, results_dir, metric, mode)
     return trials

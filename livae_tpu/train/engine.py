@@ -43,10 +43,13 @@ __all__ = [
     "make_fused_rvae_train_step",
     "make_fused_vae_train_step",
     "make_fused_encode",
+    "make_fused_eval",
+    "make_fused_rvae_eval",
     "make_eval_step",
     "make_rvae_eval_step",
     "train_one_epoch",
     "evaluate",
+    "evaluate_fused",
     "train_rvae_one_epoch",
     "evaluate_rvae",
     "evaluate_rotation_invariance",
@@ -253,6 +256,24 @@ def make_rvae_train_step(
     return step
 
 
+def _jit_fused(step_impl, mesh, *, donate_state: bool = True, state_out: bool = True):
+    """jit a fused whole-epoch fn, optionally data-parallel over `mesh`.
+
+    With a mesh, idx_batches[S, B] is sharded on its batch axis and GSPMD
+    propagates that sharding through extraction and the model; everything
+    else replicates (livae_tpu.parallel.mesh.fused_epoch_shardings).
+    """
+    donate = (0,) if donate_state else ()
+    if mesh is None:
+        return jax.jit(step_impl, donate_argnums=donate)
+    from ..parallel.mesh import fused_epoch_shardings
+
+    ins, outs = fused_epoch_shardings(mesh)
+    if not state_out:
+        outs = ins[0]  # replicated pytree (metrics only)
+    return jax.jit(step_impl, donate_argnums=donate, in_shardings=ins, out_shardings=outs)
+
+
 def make_fused_rvae_train_step(
     model,
     tx,
@@ -264,6 +285,8 @@ def make_fused_rvae_train_step(
     use_diversity: bool = False,
     canonical_weight: float = 0.2,
     grad_max_norm: float = 20.0,
+    normalize: bool = True,
+    mesh=None,
 ):
     """Whole-epoch fused rVAE training: extraction + N optimizer steps, one jit.
 
@@ -272,6 +295,11 @@ def make_fused_rvae_train_step(
     the train step so XLA fuses it with the forward pass, and a fori_loop
     executes all `idx_batches` steps in a single dispatch (the tunneled
     device costs ~25 ms per dispatch; an epoch becomes one).
+
+    With `mesh`, the step is data-parallel: the batch axis of idx_batches
+    is sharded across the mesh and gradients all-reduce via GSPMD psum
+    (the production multi-chip path; per-step math is identical to
+    single-device because every loss reduction is a global batch mean).
 
     Returns jitted
         step(state, frames_padded, img_idx, coords, idx_batches[S, B],
@@ -301,8 +329,7 @@ def make_fused_rvae_train_step(
         "rotation_std", "grad_norm",
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, frames_padded, img_idx, coords, idx_batches, key, beta, gamma):
+    def step_impl(state, frames_padded, img_idx, coords, idx_batches, key, beta, gamma):
         n_sub = idx_batches.shape[0]
 
         def body(i, carry):
@@ -312,7 +339,7 @@ def make_fused_rvae_train_step(
             idx = idx_batches[i]
             x, x_rot, angle = extract_batch_paired(
                 frames_padded, img_idx[idx], coords[idx], ke,
-                patch_size, padding, cfg=cfg, margin=margin,
+                patch_size, padding, cfg=cfg, margin=margin, normalize=normalize,
             )
             (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, x, x_rot, angle, ks, beta, gamma
@@ -332,7 +359,7 @@ def make_fused_rvae_train_step(
         metrics = dict(zip(metric_names, acc / n_sub))
         return state, metrics
 
-    return step
+    return _jit_fused(step_impl, mesh)
 
 
 def make_fused_vae_train_step(
@@ -343,27 +370,46 @@ def make_fused_vae_train_step(
     padding: int,
     cfg,
     margin: int,
+    use_diversity: bool = False,
     grad_max_norm: float = 5.0,
     normalize: bool = True,
+    mesh=None,
 ):
-    """Whole-epoch fused plain-VAE training (unpaired batches, VAELoss).
+    """Whole-epoch fused generic training (unpaired batches, VAELoss).
 
     Same execution model as make_fused_rvae_train_step: extraction +
-    optimizer steps in one dispatch. Returns jitted
+    optimizer steps in one dispatch, optionally data-parallel over `mesh`.
+    Arity-dispatched like make_train_step (reference train.py:80-96): a
+    3-output model is a plain VAE; a 5-output model (RVAE) trains with the
+    same mean-reduced VAELoss on the rotated reconstruction — the Ray Tune
+    trial path (reference train_rvae_raytune.py:140-161) — with an optional
+    gamma-weighted rotation-diversity term.
+
+    Returns jitted
     step(state, frames_padded, img_idx, coords, idx_batches, key, beta, gamma).
     """
     from ..data.pipeline import _extract_batch_impl as extract_batch
 
-    def loss_fn(params, x, key, beta):
-        recon, mu, logvar = model.apply(params, x, rngs={"sample": key})
+    def loss_fn(params, x, key, beta, gamma):
+        outputs = model.apply(params, x, rngs={"sample": key})
+        if len(outputs) == 3:
+            recon, mu, logvar = outputs
+            theta = None
+        else:
+            recon, _canonical, theta, mu, logvar = outputs
         total, rl, kl = vae_loss(recon, x, mu, logvar, beta=1.0)
         total = rl + beta * kl
-        return total, (rl, kl)
+        cyc = jnp.asarray(0.0)
+        if use_diversity and theta is not None:
+            from ..losses import rotation_diversity_loss
 
-    metric_names = ("loss", "recon_loss", "kld_loss", "grad_norm")
+            cyc = rotation_diversity_loss(theta)
+            total = total + gamma * cyc
+        return total, (rl, kl, cyc)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, frames_padded, img_idx, coords, idx_batches, key, beta, gamma):
+    metric_names = ("loss", "recon_loss", "kld_loss", "cycle_loss", "grad_norm")
+
+    def step_impl(state, frames_padded, img_idx, coords, idx_batches, key, beta, gamma):
         n_sub = idx_batches.shape[0]
 
         def body(i, carry):
@@ -375,24 +421,26 @@ def make_fused_vae_train_step(
                 frames_padded, img_idx[idx], coords[idx], ke,
                 patch_size, padding, cfg=cfg, normalize=normalize, margin=margin,
             )
-            (total, (rl, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, x, ks, beta
+            (total, (rl, kl, cyc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, x, ks, beta, gamma
             )
             grads, gnorm = _clip_by_global_norm(grads, grad_max_norm)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
-            return state, acc + jnp.stack([total, rl, kl, gnorm])
+            return state, acc + jnp.stack([total, rl, kl, cyc, gnorm])
 
         state, acc = jax.lax.fori_loop(
             0, n_sub, body, (state, jnp.zeros(len(metric_names)))
         )
         return state, dict(zip(metric_names, acc / n_sub))
 
-    return step
+    return _jit_fused(step_impl, mesh)
 
 
-def make_fused_encode(model, *, patch_size: int, padding: int, margin: int):
+def make_fused_encode(
+    model, *, patch_size: int, padding: int, margin: int, normalize: bool = True
+):
     """Fused batched encode: extraction + encoder forward over [S, B] indices.
 
     One dispatch for an entire encode sweep (the analysis half of the
@@ -410,7 +458,7 @@ def make_fused_encode(model, *, patch_size: int, padding: int, margin: int):
             idx = idx_batches[i]
             x = extract_batch(
                 frames_padded, img_idx[idx], coords[idx], None,
-                patch_size, padding, cfg=None, margin=margin,
+                patch_size, padding, cfg=None, normalize=normalize, margin=margin,
             )
             out = model.apply(params, x, method="encode")
             if len(out) == 2:
@@ -431,33 +479,70 @@ def make_fused_encode(model, *, patch_size: int, padding: int, margin: int):
     return encode
 
 
+def _generic_eval_metrics(model, params, x, key, beta, gamma, use_diversity,
+                          canonical_weight):
+    """Eval metric body shared by the per-batch and fused generic eval."""
+    outputs = model.apply(params, x, rngs={"sample": key})
+    if len(outputs) == 3:
+        recon, mu, logvar = outputs
+        theta = None
+        canonical = None
+    else:
+        recon, canonical, theta, mu, logvar = outputs
+    total, rl, kl = vae_loss(recon, x, mu, logvar, beta=1.0)
+    total = rl + beta * kl
+    cyc = jnp.asarray(0.0)
+    if use_diversity and theta is not None:
+        from ..losses import rotation_diversity_loss
+
+        cyc = rotation_diversity_loss(theta)
+        total = total + gamma * cyc
+    metrics = {"loss": total, "recon_loss": rl, "kld_loss": kl, "cycle_loss": cyc}
+    metrics.update(_common_metrics(recon, x, mu, logvar, theta))
+    if canonical is not None and canonical_weight > 0:
+        canonical_input = rotate_to_canonical(x, theta)
+        metrics["canonical_psnr"] = psnr(canonical, canonical_input)
+        metrics["canonical_ssim"] = ssim(canonical, canonical_input)
+    return metrics
+
+
+def _rvae_eval_metrics(model, params, x, x_rot, angle, key, beta, gamma,
+                       use_diversity, canonical_weight):
+    """Paired eval metric body shared by the per-batch and fused rVAE eval."""
+    rotated_recon, canonical, theta, mu, logvar = model.apply(
+        params, x, rngs={"sample": key}
+    )
+    _, _, theta_rot = model.apply(params, x_rot, method="encode")
+    total, rl, kl, cyc = rvae_loss(
+        rotated_recon, x, mu, logvar, theta, theta_rot, angle,
+        beta=1.0, gamma=1.0, use_diversity=use_diversity,
+    )
+    total = rl + beta * kl + gamma * cyc
+    canonical_input = rotate_to_canonical(x, theta)
+    canon_l = jnp.mean((canonical - canonical_input) ** 2)
+    if canonical_weight > 0:
+        total = total + canonical_weight * canon_l
+    metrics = {
+        "loss": total,
+        "recon_loss": rl,
+        "kld_loss": kl,
+        "cycle_loss": cyc,
+        "canonical_loss": canon_l,
+        "canonical_psnr": psnr(canonical, canonical_input),
+        "canonical_ssim": ssim(canonical, canonical_input),
+    }
+    metrics.update(_common_metrics(rotated_recon, x, mu, logvar, theta))
+    return metrics
+
+
 def make_eval_step(model, *, use_diversity: bool = False, canonical_weight: float = 0.0):
     """Generic eval step; mirrors reference evaluate (train.py:168-278)."""
 
     @jax.jit
     def step(params, x, key, beta, gamma):
-        outputs = model.apply(params, x, rngs={"sample": key})
-        if len(outputs) == 3:
-            recon, mu, logvar = outputs
-            theta = None
-            canonical = None
-        else:
-            recon, canonical, theta, mu, logvar = outputs
-        total, rl, kl = vae_loss(recon, x, mu, logvar, beta=1.0)
-        total = rl + beta * kl
-        cyc = jnp.asarray(0.0)
-        if use_diversity and theta is not None:
-            from ..losses import rotation_diversity_loss
-
-            cyc = rotation_diversity_loss(theta)
-            total = total + gamma * cyc
-        metrics = {"loss": total, "recon_loss": rl, "kld_loss": kl, "cycle_loss": cyc}
-        metrics.update(_common_metrics(recon, x, mu, logvar, theta))
-        if canonical is not None and canonical_weight > 0:
-            canonical_input = rotate_to_canonical(x, theta)
-            metrics["canonical_psnr"] = psnr(canonical, canonical_input)
-            metrics["canonical_ssim"] = ssim(canonical, canonical_input)
-        return metrics
+        return _generic_eval_metrics(
+            model, params, x, key, beta, gamma, use_diversity, canonical_weight
+        )
 
     return step
 
@@ -469,32 +554,146 @@ def make_rvae_eval_step(model, *, use_diversity: bool = False, canonical_weight:
 
     @jax.jit
     def step(params, x, x_rot, angle, key, beta, gamma):
-        rotated_recon, canonical, theta, mu, logvar = model.apply(
-            params, x, rngs={"sample": key}
+        return _rvae_eval_metrics(
+            model, params, x, x_rot, angle, key, beta, gamma,
+            use_diversity, canonical_weight,
         )
-        _, _, theta_rot = model.apply(params, x_rot, method="encode")
-        total, rl, kl, cyc = rvae_loss(
-            rotated_recon, x, mu, logvar, theta, theta_rot, angle,
-            beta=1.0, gamma=1.0, use_diversity=use_diversity,
-        )
-        total = rl + beta * kl + gamma * cyc
-        canonical_input = rotate_to_canonical(x, theta)
-        canon_l = jnp.mean((canonical - canonical_input) ** 2)
-        if canonical_weight > 0:
-            total = total + canonical_weight * canon_l
-        metrics = {
-            "loss": total,
-            "recon_loss": rl,
-            "kld_loss": kl,
-            "cycle_loss": cyc,
-            "canonical_loss": canon_l,
-            "canonical_psnr": psnr(canonical, canonical_input),
-            "canonical_ssim": ssim(canonical, canonical_input),
-        }
-        metrics.update(_common_metrics(rotated_recon, x, mu, logvar, theta))
-        return metrics
 
     return step
+
+
+def make_fused_eval(
+    model,
+    *,
+    patch_size: int,
+    padding: int,
+    margin: int,
+    use_diversity: bool = False,
+    canonical_weight: float = 0.0,
+    normalize: bool = True,
+    mesh=None,
+):
+    """Fused generic eval: extraction + eval metrics over [S, B] indices.
+
+    One dispatch per val epoch (vs one per batch): the unpaired,
+    un-augmented extraction (the reference's transform=None val path)
+    runs inside the same jit as the metric computation; per-batch metric
+    means come back stacked [S] for the host to average (equal weight per
+    batch, the reference's MetricLogger convention).
+
+    Returns jitted eval(params, frames_padded, img_idx, coords,
+    idx_batches[S, B], key, beta, gamma) -> {name: [S] array}.
+    """
+    from ..data.pipeline import _extract_batch_impl as extract_batch
+
+    def eval_impl(params, frames_padded, img_idx, coords, idx_batches, key, beta, gamma):
+        def body(i):
+            idx = idx_batches[i]
+            x = extract_batch(
+                frames_padded, img_idx[idx], coords[idx], None,
+                patch_size, padding, cfg=None, normalize=normalize, margin=margin,
+            )
+            return _generic_eval_metrics(
+                model, params, x, jax.random.fold_in(key, i), beta, gamma,
+                use_diversity, canonical_weight,
+            )
+
+        return jax.lax.map(body, jnp.arange(idx_batches.shape[0]))
+
+    return _jit_fused(eval_impl, mesh, donate_state=False, state_out=False)
+
+
+def make_fused_rvae_eval(
+    model,
+    *,
+    patch_size: int,
+    padding: int,
+    cfg,
+    margin: int,
+    use_diversity: bool = False,
+    canonical_weight: float = 0.2,
+    normalize: bool = True,
+    mesh=None,
+):
+    """Fused paired rVAE eval: paired extraction + eval metrics, one dispatch.
+
+    Mirrors evaluate_rvae over the paired val set (extraction uses the
+    dataset's transform, as the reference's val DataLoader does) with all
+    batches averaged. Returns jitted eval(params, frames_padded, img_idx,
+    coords, idx_batches[S, B], key, beta, gamma) -> {name: [S] array}.
+    """
+    from ..data.pipeline import _extract_batch_paired_impl as extract_batch_paired
+
+    def eval_impl(params, frames_padded, img_idx, coords, idx_batches, key, beta, gamma):
+        def body(i):
+            k = jax.random.fold_in(key, i)
+            ke, ks = jax.random.split(k)
+            idx = idx_batches[i]
+            x, x_rot, angle = extract_batch_paired(
+                frames_padded, img_idx[idx], coords[idx], ke,
+                patch_size, padding, cfg=cfg, margin=margin, normalize=normalize,
+            )
+            return _rvae_eval_metrics(
+                model, params, x, x_rot, angle, ks, beta, gamma,
+                use_diversity, canonical_weight,
+            )
+
+        return jax.lax.map(body, jnp.arange(idx_batches.shape[0]))
+
+    return _jit_fused(eval_impl, mesh, donate_state=False, state_out=False)
+
+
+def evaluate_fused(
+    fused_eval: Callable,
+    tail_eval: Callable,
+    params,
+    site_table,
+    val_idx,
+    batch_size: int,
+    key: jax.Array,
+    metric_logger: MetricLogger | None = None,
+    beta: float = 1.0,
+    gamma: float = 0.0,
+    prefix: str = "val_",
+) -> dict[str, float]:
+    """Run a fused eval over ALL val sites (full batches + ragged tail).
+
+    The tail batch (val size not divisible by batch_size) goes through
+    `tail_eval` — the un-sharded fused eval — so every val site counts in
+    the epoch metrics (the reference evaluates the full val loader; the
+    round-1 build dropped the tail). Batches are equal-weighted, matching
+    the reference's MetricLogger averaging.
+    """
+    frames_padded, img_idx, coords, _ = site_table
+    val_idx = np.asarray(val_idx)
+    n = len(val_idx)
+    bs = min(batch_size, n)
+    n_full = n // bs
+    per_batch: list[dict] = []
+    if n_full > 0:
+        main = jnp.asarray(val_idx[: n_full * bs], jnp.int32).reshape(n_full, bs)
+        per_batch.append(
+            fused_eval(params, frames_padded, img_idx, coords, main, key, beta, gamma)
+        )
+    if n_full * bs < n:
+        tail = jnp.asarray(val_idx[n_full * bs :], jnp.int32).reshape(1, -1)
+        per_batch.append(
+            tail_eval(
+                params, frames_padded, img_idx, coords, tail,
+                jax.random.fold_in(key, 0x7FFF), beta, gamma,
+            )
+        )
+    sums: dict[str, float] = defaultdict(float)
+    count = 0
+    for d in per_batch:
+        d = jax.device_get(d)
+        count += len(next(iter(d.values())))
+        for k, v in d.items():
+            sums[k] += float(np.sum(v))
+    avg = {prefix + k: v / count for k, v in sums.items()}
+    if metric_logger is not None:
+        metric_logger.update(**avg)
+    return avg
 
 
 def _accumulate_epoch(metric_dicts: list[dict]) -> dict[str, float]:

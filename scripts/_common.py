@@ -21,6 +21,20 @@ from livae_tpu.data.h5 import load_image_from_h5  # noqa: E402
 from livae_tpu.data.synthetic import synthetic_mos2_frame  # noqa: E402
 
 
+def maybe_force_cpu(args) -> None:
+    """Honor --cpu by pinning the JAX CPU backend (before any device query).
+
+    The reference's --cpu selects torch CPU; here it forces the XLA CPU
+    backend — useful for smoke tests without claiming the single-client
+    TPU tunnel. Must run before the first jax device lookup.
+    """
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print("note: --cpu forces the XLA CPU backend")
+
+
 def resolve_images(args) -> list[np.ndarray]:
     """Load frames from --data h5 paths, data/*.h5, or --synthetic."""
     if getattr(args, "synthetic", 0):

@@ -86,7 +86,9 @@ def run_pretrain(args) -> dict:
             state, m = train_step(state, x, x_rot, angle)
             train_losses.append(m["loss"])
         val_losses = []
-        for i, chunk in enumerate(batched(val_idx, min(args.batch_size, len(val_idx)))):
+        for i, chunk in enumerate(
+            batched(val_idx, min(args.batch_size, len(val_idx)), drop_last=False)
+        ):
             x, x_rot, angle = dataset.batch_at(chunk, jax.random.fold_in(vk, i))
             val_losses.append(eval_step(state.params, x, x_rot, angle)["loss"])
         train_loss = float(jnp.mean(jnp.stack(train_losses)))

@@ -26,17 +26,18 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-from _common import add_data_flags, batched, resolve_images, split_indices
+from _common import add_data_flags, resolve_images, split_indices
 
 from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset, default_transform
 from livae_tpu.models.rvae import RVAE
+from livae_tpu.parallel.mesh import make_mesh, resolve_num_devices
 from livae_tpu.train.engine import (
     MetricLogger,
-    evaluate_rvae,
+    evaluate_fused,
     log_reconstructions_tensorboard,
     log_scalar_metrics_tensorboard,
+    make_fused_rvae_eval,
     make_fused_rvae_train_step,
-    make_rvae_eval_step,
 )
 from livae_tpu.train.state import (
     TrainState,
@@ -105,6 +106,19 @@ def run_training(args) -> dict:
     )
     state = TrainState.create(params, tx)
 
+    # Data parallelism: shard the patch batch over a 1-D device mesh
+    # (GSPMD psum gradient all-reduce; per-step math identical to 1 device).
+    n_devices = resolve_num_devices(args.num_devices)
+    mesh = None
+    if n_devices > 1:
+        if args.batch_size % n_devices:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by "
+                f"--num-devices {n_devices}"
+            )
+        mesh = make_mesh(n_devices)
+        print(f"Data-parallel mesh: {n_devices} devices {mesh.shape}")
+
     grad_max_norm = args.grad_max_norm if args.grad_max_norm is not None else 20.0
     train_step = make_fused_rvae_train_step(
         model,
@@ -116,13 +130,20 @@ def run_training(args) -> dict:
         use_diversity=args.use_diversity_loss,
         canonical_weight=args.canonical_weight,
         grad_max_norm=grad_max_norm,
+        mesh=mesh,
     )
     frames_padded, img_idx_dev, coords_dev, _ = dataset.device_site_table
-    eval_step = make_rvae_eval_step(
-        model,
+    eval_kwargs = dict(
+        patch_size=args.patch_size,
+        padding=args.padding,
+        cfg=dataset.transform,
+        margin=dataset._margin,
         use_diversity=args.use_diversity_loss,
         canonical_weight=args.canonical_weight,
     )
+    fused_eval = make_fused_rvae_eval(model, mesh=mesh, **eval_kwargs)
+    # un-sharded variant for the ragged tail batch (full val coverage)
+    tail_eval = fused_eval if mesh is None else make_fused_rvae_eval(model, **eval_kwargs)
 
     writer = None
     if not args.no_tensorboard:
@@ -184,13 +205,12 @@ def run_training(args) -> dict:
         train_time = time.time() - t0
         total_patches += steps_per_epoch * args.batch_size
 
-        val_batches = (
-            dataset.batch_at(chunk, jax.random.fold_in(vk, 10_000 + i))
-            for i, chunk in enumerate(batched(val_idx, min(args.batch_size, len(val_idx))))
-        )
-        val_metrics = evaluate_rvae(
-            eval_step, state.params, val_batches, vk, epoch_logger,
-            beta=beta, gamma=args.gamma,
+        val_bs = min(args.batch_size, len(val_idx))
+        if mesh is not None:
+            val_bs = max(n_devices, val_bs - val_bs % n_devices)
+        val_metrics = evaluate_fused(
+            fused_eval, tail_eval, state.params, dataset.device_site_table,
+            val_idx, val_bs, vk, epoch_logger, beta=beta, gamma=args.gamma,
         )
 
         if args.profile and epoch == start_epoch + 1:
@@ -295,6 +315,12 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--freeze-stn", action="store_true")
     parser.add_argument("--stn-lr", type=float, default=None)
     parser.add_argument("--grad-max-norm", type=float, default=None)
+    parser.add_argument(
+        "--num-devices",
+        type=str,
+        default="1",
+        help='Data-parallel devices: an integer or "auto" (all local devices)',
+    )
     parser.add_argument("--log-dir", type=str, default="runs/rvae")
     parser.add_argument("--no-tensorboard", action="store_true")
     parser.add_argument("--vis-every", type=int, default=10)
@@ -340,7 +366,10 @@ def build_argparser() -> argparse.ArgumentParser:
 
 if __name__ == "__main__":
     args = build_argparser().parse_args()
-    for noop in ("num_workers", "prefetch_factor", "cpu", "compile"):
+    from _common import maybe_force_cpu
+
+    maybe_force_cpu(args)
+    for noop in ("num_workers", "prefetch_factor", "compile"):
         if getattr(args, noop, None) not in (None, False, 8, 4):
             print(f"note: --{noop.replace('_', '-')} is a no-op on the TPU pipeline")
     run_training(args)

@@ -18,16 +18,17 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-from _common import add_data_flags, batched, resolve_images, split_indices
+from _common import add_data_flags, resolve_images, split_indices
 
 from livae_tpu.data.datasets import AdaptiveLatticeDataset, default_transform
 from livae_tpu.models.vae import VAE
+from livae_tpu.parallel.mesh import make_mesh, resolve_num_devices
 from livae_tpu.train.engine import (
     MetricLogger,
-    evaluate,
+    evaluate_fused,
     log_reconstructions_tensorboard,
     log_scalar_metrics_tensorboard,
-    make_eval_step,
+    make_fused_eval,
     make_fused_vae_train_step,
 )
 from livae_tpu.train.state import TrainState, cosine_warm_restarts, make_optimizer
@@ -73,13 +74,29 @@ def run_training(args) -> dict:
     tx = make_optimizer(schedule, optimizer="adam")
     state = TrainState.create(params, tx)
 
+    n_devices = resolve_num_devices(args.num_devices)
+    mesh = None
+    if n_devices > 1:
+        if args.batch_size % n_devices:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by "
+                f"--num-devices {n_devices}"
+            )
+        mesh = make_mesh(n_devices)
+        print(f"Data-parallel mesh: {n_devices} devices {mesh.shape}")
+
     train_step = make_fused_vae_train_step(
         model, tx,
         patch_size=args.patch_size, padding=args.padding,
         cfg=dataset.transform, margin=dataset._margin, grad_max_norm=5.0,
+        mesh=mesh,
     )
     frames_padded, img_idx_dev, coords_dev, _ = dataset.device_site_table
-    eval_step = make_eval_step(model)
+    eval_kwargs = dict(
+        patch_size=args.patch_size, padding=args.padding, margin=dataset._margin
+    )
+    fused_eval = make_fused_eval(model, mesh=mesh, **eval_kwargs)
+    tail_eval = fused_eval if mesh is None else make_fused_eval(model, **eval_kwargs)
 
     writer = None
     if not args.no_tensorboard:
@@ -116,11 +133,13 @@ def run_training(args) -> dict:
         train_time = time.time() - t0
         total_patches += steps_per_epoch * args.batch_size
 
-        val_batches = (
-            dataset.batch_at(chunk)  # no augmentation at eval
-            for chunk in batched(val_idx, min(args.batch_size, len(val_idx)))
+        val_bs = min(args.batch_size, len(val_idx))
+        if mesh is not None:
+            val_bs = max(n_devices, val_bs - val_bs % n_devices)
+        val_metrics = evaluate_fused(
+            fused_eval, tail_eval, state.params, dataset.device_site_table,
+            val_idx, val_bs, vk, logger, beta=beta,
         )
-        val_metrics = evaluate(eval_step, state.params, val_batches, vk, logger, beta=beta)
 
         metrics = logger.get_averages()
         pps = steps_per_epoch * args.batch_size / train_time
@@ -182,6 +201,12 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--beta", type=float, default=1.0)
     parser.add_argument("--beta-annealing", action="store_true")
     parser.add_argument("--beta-annealing-epochs", type=int, default=10)
+    parser.add_argument(
+        "--num-devices",
+        type=str,
+        default="1",
+        help='Data-parallel devices: an integer or "auto" (all local devices)',
+    )
     parser.add_argument("--log-dir", type=str, default="runs/vae")
     parser.add_argument("--no-tensorboard", action="store_true")
     parser.add_argument("--vis-every", type=int, default=10)
@@ -201,4 +226,8 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 if __name__ == "__main__":
-    run_training(build_argparser().parse_args())
+    _args = build_argparser().parse_args()
+    from _common import maybe_force_cpu
+
+    maybe_force_cpu(_args)
+    run_training(_args)

@@ -102,6 +102,7 @@ class TestDatasets:
         assert np.isfinite(b).all()
         assert b.min() >= 0.0 and b.max() <= 1.0
 
+    @pytest.mark.slow
     def test_iter_epoch_covers_dataset(self, adaptive_ds):
         n = len(adaptive_ds)
         batches = list(adaptive_ds.iter_epoch(jax.random.key(1), 8))
@@ -119,8 +120,21 @@ class TestDatasets:
         batch = ds.sample_batch(jax.random.key(0), 4)
         assert batch.shape == (4, 64, 64, 1)
 
+    @pytest.mark.slow
+    def test_plot_peaks(self, frames, tmp_path):
+        """Debug viz parity (reference data.py:252-289): full frame and a
+        cropped region with peak re-basing, saved headlessly."""
+        pytest.importorskip("matplotlib")
+        ds = PatchDataset(frames, patch_size=64, padding=4)
+        full = tmp_path / "peaks_full.png"
+        crop = tmp_path / "peaks_crop.png"
+        ds.plot_peaks(0, save_path=str(full))
+        ds.plot_peaks(0, size=128, offset=(32, 32), save_path=str(crop))
+        assert full.stat().st_size > 0 and crop.stat().st_size > 0
+
 
 class TestPaired:
+    @pytest.mark.slow
     def test_paired_shapes_and_angle_range(self, frames):
         ds = PairedAdaptiveLatticeDataset(frames, patch_size=64, padding=16)
         patch, rotated, angle = ds.sample_batch(jax.random.key(0), 8)

@@ -9,8 +9,12 @@ must match across frameworks through the exact resampler path.
 
 import importlib.util
 
-import numpy as np
 import pytest
+
+# full torch differential suite: heavyweight, excluded from the fast gate
+pytestmark = pytest.mark.slow
+
+import numpy as np
 import torch
 
 import jax

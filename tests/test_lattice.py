@@ -122,6 +122,28 @@ class TestAdaptiveLattice:
         sites, labels, _ = build_adaptive_lattice(img, patch_size=32, padding=4)
         assert sites.shape[1] == 2 if len(sites) else True
 
+    def test_device_peaks_build_matches_host(self):
+        """VERDICT item 6: device_peaks=True produces the same site table
+        (within one dedup radius) as the host detection path."""
+        frame, _ = synthetic_mos2_frame(size=512, spacing=20.0, seed=5)
+        img = np.asarray(normalize_image(bandpass_filter(frame, 5, 64)))
+        host_sites, host_labels, spacing = build_adaptive_lattice(
+            img, patch_size=64, padding=16, device_peaks=False
+        )
+        dev_sites, dev_labels, _ = build_adaptive_lattice(
+            img, patch_size=64, padding=16, device_peaks=True
+        )
+        assert abs(len(dev_sites) - len(host_sites)) <= 0.02 * len(host_sites)
+        # every host site has a device site within the dedup radius
+        from scipy.spatial import cKDTree
+
+        d, idx = cKDTree(dev_sites).query(host_sites)
+        matched = d < spacing * 0.35
+        assert matched.mean() > 0.98
+        # labels agree on matched sites
+        agree = host_labels[matched] == dev_labels[idx[matched]]
+        assert agree.mean() > 0.98
+
 
 class TestGenerateLatticeGrid:
     """Covers BOTH reference surfaces (SURVEY.md §4 stale-test note)."""

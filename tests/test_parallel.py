@@ -65,6 +65,7 @@ def test_vae_data_parallel_step_matches_single_device(mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_rvae_paired_parallel_step(mesh):
     model = RVAE(latent_dim=4, patch_size=P)
     params = model.init(
@@ -110,3 +111,132 @@ def test_eval_step_sharded(mesh):
 def test_mesh_too_many_devices():
     with pytest.raises(ValueError):
         make_mesh(1024)
+
+
+def test_resolve_num_devices():
+    from livae_tpu.parallel.mesh import resolve_num_devices
+
+    assert resolve_num_devices(None) == 1
+    assert resolve_num_devices("3") == 3
+    assert resolve_num_devices(2) == 2
+    assert resolve_num_devices("auto") == jax.local_device_count()
+    with pytest.raises(ValueError):
+        resolve_num_devices("0")
+
+
+@pytest.fixture(scope="module")
+def site_table():
+    """Tiny device site table (frames_padded, img_idx, coords, margin)."""
+    from livae_tpu.data.pipeline import pad_frames
+
+    padding = 8
+    roi = P + 2 * padding + 16
+    margin = roi // 2 + 8
+    H = 4 * roi
+    rng = np.random.default_rng(3)
+    frames_padded = pad_frames(jnp.asarray(rng.random((1, H, H), dtype=np.float32)), margin)
+    n_sites = 64
+    img_idx = jnp.zeros((n_sites,), jnp.int32)
+    coords = jnp.asarray(
+        rng.uniform(roi // 2, H - roi // 2, (n_sites, 2)).astype(np.float32)
+    )
+    return frames_padded, img_idx, coords, margin, padding
+
+
+@pytest.mark.slow
+def test_fused_rvae_step_sharded_matches_single_device(mesh, site_table):
+    """The production multi-chip path: fused extract+train over the mesh
+    must produce step-for-step identical loss and params to one device."""
+    from livae_tpu.data.pipeline import AugmentConfig
+    from livae_tpu.train.engine import make_fused_rvae_train_step
+
+    frames_padded, img_idx, coords, margin, padding = site_table
+    model = RVAE(latent_dim=4, patch_size=P)
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, P, P, 1)),
+    )
+    tx = make_optimizer(1e-3, optimizer="adamw", weight_decay=1e-5)
+    kwargs = dict(
+        patch_size=P, padding=padding, cfg=AugmentConfig(), margin=margin,
+        canonical_weight=0.2, grad_max_norm=20.0,
+    )
+    idx_batches = jnp.arange(2 * B, dtype=jnp.int32).reshape(2, B)
+    key = jax.random.key(5)
+
+    # the fused step donates its state: give each run its own param copy
+    params1 = jax.tree.map(jnp.copy, params)
+    paramsN = jax.tree.map(jnp.copy, params)
+
+    step1 = make_fused_rvae_train_step(model, tx, **kwargs)
+    s1, m1 = step1(
+        TrainState.create(params1, tx), frames_padded, img_idx, coords,
+        idx_batches, key, 10.0, 10.0,
+    )
+
+    stepN = make_fused_rvae_train_step(model, tx, mesh=mesh, **kwargs)
+    sN, mN = stepN(
+        TrainState.create(paramsN, tx), frames_padded, img_idx, coords,
+        idx_batches, key, 10.0, 10.0,
+    )
+
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]), rtol=1e-5)
+    assert int(sN.step) == 2
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sN.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_fused_eval_sharded_matches_single_device(mesh, site_table):
+    from livae_tpu.train.engine import make_fused_eval
+
+    frames_padded, img_idx, coords, margin, padding = site_table
+    model = VAE(latent_dim=4, patch_size=P)
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, P, P, 1)),
+    )
+    kwargs = dict(patch_size=P, padding=padding, margin=margin)
+    idx_batches = jnp.arange(2 * B, dtype=jnp.int32).reshape(2, B)
+    key = jax.random.key(6)
+
+    e1 = make_fused_eval(model, **kwargs)(
+        params, frames_padded, img_idx, coords, idx_batches, key, 1.0, 0.0
+    )
+    eN = make_fused_eval(model, mesh=mesh, **kwargs)(
+        params, frames_padded, img_idx, coords, idx_batches, key, 1.0, 0.0
+    )
+    for k in e1:
+        np.testing.assert_allclose(
+            np.asarray(e1[k]), np.asarray(eN[k]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_evaluate_fused_covers_all_val_sites(site_table):
+    """Regression for the round-1 val truncation: a ragged tail batch must
+    contribute to the epoch metrics (VERDICT.md weak #3)."""
+    from livae_tpu.train.engine import MetricLogger, evaluate_fused, make_fused_eval
+
+    frames_padded, img_idx, coords, margin, padding = site_table
+    model = VAE(latent_dim=4, patch_size=P)
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, P, P, 1)),
+    )
+    fe = make_fused_eval(model, patch_size=P, padding=padding, margin=margin)
+
+    table = (frames_padded, img_idx, coords, margin)
+    logger = MetricLogger()
+    # 19 val sites, batch 8 -> 2 full batches + tail of 3
+    val_idx = np.arange(19)
+    avg = evaluate_fused(
+        fe, fe, params, table, val_idx, 8, jax.random.key(7), logger, beta=1.0
+    )
+    assert np.isfinite(avg["val_loss"])
+
+    # the tail must change the average: evaluate only the 16 full-batch
+    # sites and check the two disagree (distinct site content)
+    avg_trunc = evaluate_fused(
+        fe, fe, params, table, val_idx[:16], 8, jax.random.key(7), None, beta=1.0
+    )
+    assert avg["val_loss"] != avg_trunc["val_loss"]

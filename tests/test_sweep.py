@@ -1,7 +1,13 @@
 """Sweep engine tests: search space, ASHA early stopping, PBT exploit,
-results.json artifacts, best-config retrieval."""
+results.json artifacts, best-config retrieval, concurrent executors,
+live-population PBT, and the native TPE searcher."""
 
+import itertools
 import json
+import math
+import os
+import threading
+import time
 
 import numpy as np
 import pytest
@@ -16,6 +22,7 @@ from livae_tpu.sweep import (
     sample_config,
     uniform,
 )
+from livae_tpu.sweep.search import TPESearcher
 
 
 class TestSearchSpace:
@@ -129,3 +136,131 @@ class TestPBT:
         )
         assert len(exploited) > 0, "PBT should trigger exploit for laggards"
         assert all("config" in e and "checkpoint" in e for e in exploited)
+
+
+class TestConcurrency:
+    def test_concurrent_trials_overlap(self, tmp_path):
+        """Two trials must be in flight simultaneously: each waits on a
+        2-party barrier that only releases if both run at once."""
+        barrier = threading.Barrier(2, timeout=30)
+
+        def trainable(config, report):
+            barrier.wait()
+            report(epoch=1, loss=config["x"])
+
+        trials = run_search(
+            trainable, {"x": uniform(0.0, 1.0)}, num_samples=2,
+            results_dir=tmp_path, max_concurrent=2,
+        )
+        assert all(t.status == "done" for t in trials)
+
+    def test_pbt_exploits_live_peer(self, tmp_path):
+        """A lagging trial must exploit a donor that is STILL RUNNING
+        (the population-based dynamics sequential execution cannot give)."""
+        counter = itertools.count()
+        lock = threading.Lock()
+        finished: set[int] = set()
+        n_good_reports = [0]
+        goods_reported = threading.Event()
+        got = []
+
+        def trainable(config, report):
+            my = next(counter)
+            if my < 2:  # two good, slow trials
+                for epoch in range(1, 8):
+                    report(epoch=epoch, loss=0.1, checkpoint=f"ck{my}")
+                    with lock:
+                        n_good_reports[0] += 1
+                        if n_good_reports[0] >= 2:
+                            goods_reported.set()
+                    time.sleep(0.02)
+                with lock:
+                    finished.add(my)
+            else:  # the laggard: report once both donors have metrics
+                assert goods_reported.wait(timeout=10)
+                out = report(epoch=1, loss=10.0, checkpoint="ck_bad")
+                with lock:
+                    got.append((set(finished), out))
+
+        sched = PBTScheduler(
+            metric="loss", perturbation_interval=1,
+            hyperparam_mutations={"lr": loguniform(1e-5, 1e-1)},
+            quantile_fraction=0.34,
+        )
+        run_search(
+            trainable, {"lr": loguniform(1e-5, 1e-1)}, num_samples=3,
+            scheduler=sched, results_dir=tmp_path, max_concurrent=3, seed=0,
+        )
+        assert got, "laggard never reported"
+        finished_at_exploit, payload = got[0]
+        assert isinstance(payload, dict), "laggard should receive an exploit payload"
+        assert payload["checkpoint"] in ("ck0", "ck1")
+        assert len(finished_at_exploit) < 2, (
+            "exploit must come from a live population (a donor still running)"
+        )
+
+    @pytest.mark.slow
+    def test_process_executor_pins_env_per_slot(self, tmp_path):
+        trials = run_search(
+            _proc_trainable, {"x": uniform(0.0, 1.0)}, num_samples=3,
+            results_dir=tmp_path, max_concurrent=2, executor="process",
+            trial_env=lambda slot: {"SWEEP_SLOT": str(slot)},
+        )
+        assert all(t.status == "done" for t in trials)
+        pids = {t.last("pid") for t in trials}
+        assert len(pids) >= 2, "trials should run in separate processes"
+        slots = {t.last("slot") for t in trials}
+        assert slots == {"0", "1"}, f"both env-pinned slots should be used: {slots}"
+        assert os.environ.get("SWEEP_SLOT") is None, "pinning must not leak to parent"
+
+
+def _proc_trainable(config, report):
+    """Module-level trial fn for the spawn-based process executor."""
+    report(
+        epoch=1, loss=config["x"], pid=os.getpid(),
+        slot=os.environ.get("SWEEP_SLOT", ""),
+    )
+
+
+class TestTPE:
+    def test_tpe_suggest_concentrates_near_optimum(self):
+        space = {"lr": loguniform(1e-6, 1.0)}
+        tpe = TPESearcher(space, seed=0, n_startup=8)
+        obs = []
+        for i in range(40):
+            cfg = tpe.suggest(obs)
+            loss = (math.log10(cfg["lr"]) + 3.0) ** 2  # optimum lr = 1e-3
+            obs.append((cfg, loss))
+        early = [abs(math.log10(c["lr"]) + 3.0) for c, _ in obs[:8]]
+        late = [abs(math.log10(c["lr"]) + 3.0) for c, _ in obs[-10:]]
+        assert np.mean(late) < np.mean(early), "TPE should concentrate sampling"
+
+    def test_tpe_beats_random_on_toy_objective(self, tmp_path):
+        def trainable(config, report):
+            report(epoch=1, loss=(math.log10(config["lr"]) + 3.0) ** 2)
+
+        space = {"lr": loguniform(1e-6, 1.0)}
+
+        def best_of(alg, seed):
+            trials = run_search(
+                trainable, space, num_samples=30,
+                results_dir=tmp_path / f"{alg}_{seed}", seed=seed, search_alg=alg,
+            )
+            return get_best_result(trials).best("loss", "min")
+
+        seeds = (0, 1, 2)
+        tpe = np.mean([best_of("tpe", s) for s in seeds])
+        rnd = np.mean([best_of("random", s) for s in seeds])
+        assert tpe < rnd, f"TPE ({tpe:.4f}) should beat random ({rnd:.4f})"
+
+    def test_tpe_handles_choice_params(self):
+        space = {"dim": choice([8, 16, 32]), "lr": loguniform(1e-5, 1e-1)}
+        tpe = TPESearcher(space, seed=1, n_startup=5)
+        obs = []
+        for _ in range(30):
+            cfg = tpe.suggest(obs)
+            assert cfg["dim"] in (8, 16, 32)
+            loss = 0.0 if cfg["dim"] == 16 else 1.0  # 16 is best
+            obs.append((cfg, loss))
+        late_dims = [tpe.suggest(obs)["dim"] for _ in range(10)]
+        assert late_dims.count(16) >= 6, "TPE should favor the winning category"

@@ -115,6 +115,8 @@ class TestVAETraining:
 
 
 class TestRVAETraining:
+    pytestmark = pytest.mark.slow  # paired-step compiles dominate suite time
+
     def test_paired_step_and_metrics(self, rvae_setup):
         model, state, tx = rvae_setup
         step = make_rvae_train_step(model, tx, canonical_weight=0.2, grad_max_norm=20.0)
