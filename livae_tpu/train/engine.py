@@ -814,19 +814,28 @@ def evaluate_rotation_invariance(
     images = jnp.asarray(images)
     angles_rad = jnp.asarray([a * jnp.pi / 180.0 for a in angles], dtype=jnp.float32)
 
+    @jax.jit
+    def probe(params, a, k):
+        """One angle: rotate -> forward -> un-rotate; compiled once, the
+        angle is traced so all angles share the compilation."""
+        rotated = rotate_image_fast(images, jnp.full((images.shape[0],), a), "reflection")
+        rotated_recon, _recon, theta, mu, _logvar = model.apply(
+            params, rotated, rngs={"sample": k}
+        )
+        unrotated = rotate_image_fast(
+            rotated_recon, jnp.full((images.shape[0],), -a), "reflection"
+        )
+        rmse = jnp.sqrt(jnp.mean((unrotated - images) ** 2))
+        return mu, theta, rmse, psnr(unrotated, images), ssim(unrotated, images)
+
     mus, recon_errs, psnrs, ssims, angle_errs = [], [], [], [], []
     base_theta = None
     for i, a in enumerate(angles_rad):
-        rotated = rotate_image_fast(images, jnp.full((images.shape[0],), a), "reflection")
-        rotated_recon, recon, theta, mu, logvar = model.apply(
-            params, rotated, rngs={"sample": jax.random.fold_in(key, i)}
-        )
-        # un-rotate the rotated reconstruction back to the original frame
-        unrotated = rotate_image_fast(rotated_recon, jnp.full((images.shape[0],), -a), "reflection")
+        mu, theta, rmse, p, s = probe(params, a, jax.random.fold_in(key, i))
         mus.append(mu)
-        recon_errs.append(jnp.sqrt(jnp.mean((unrotated - images) ** 2)))
-        psnrs.append(psnr(unrotated, images))
-        ssims.append(ssim(unrotated, images))
+        recon_errs.append(rmse)
+        psnrs.append(p)
+        ssims.append(s)
         if base_theta is None:
             base_theta = theta
         else:

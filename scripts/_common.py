@@ -9,6 +9,7 @@ synthetic MoS2 frames instead (livae_tpu.data.synthetic).
 
 from __future__ import annotations
 
+import functools
 import glob
 import sys
 from pathlib import Path
@@ -71,6 +72,19 @@ def add_data_flags(parser) -> None:
     parser.add_argument(
         "--synthetic-size", type=int, default=1024, help="Synthetic frame size"
     )
+
+
+@functools.lru_cache(maxsize=4)
+def _vis_forward(model):
+    """Jitted full forward for the TB visualization path (compiled once per
+    model; the raw model.apply would dispatch op-by-op on the tunneled TPU)."""
+    import jax
+
+    @jax.jit
+    def fwd(params, x, key):
+        return model.apply(params, x, rngs={"sample": key})
+
+    return fwd
 
 
 def split_indices(n: int, val_split: float, seed: int = 0):

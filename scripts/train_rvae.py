@@ -26,7 +26,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-from _common import add_data_flags, resolve_images, split_indices
+from _common import _vis_forward, add_data_flags, resolve_images, split_indices
 
 from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset, default_transform
 from livae_tpu.models.rvae import RVAE
@@ -238,8 +238,8 @@ def run_training(args) -> dict:
             if (epoch + 1) % args.vis_every == 0:
                 key, pk, wk = jax.random.split(key, 3)
                 x, x_rot, _ = dataset.batch_at(val_idx[: args.vis_samples], pk)
-                rotated_recon, canonical, theta, _, _ = model.apply(
-                    state.params, x, rngs={"sample": wk}
+                rotated_recon, canonical, theta, _, _ = _vis_forward(model)(
+                    state.params, x, wk
                 )
                 from livae_tpu.train.engine import rotate_to_canonical
 

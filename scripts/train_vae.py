@@ -18,7 +18,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-from _common import add_data_flags, resolve_images, split_indices
+from _common import _vis_forward, add_data_flags, resolve_images, split_indices
 
 from livae_tpu.data.datasets import AdaptiveLatticeDataset, default_transform
 from livae_tpu.models.vae import VAE
@@ -156,7 +156,7 @@ def run_training(args) -> dict:
             if (epoch + 1) % args.vis_every == 0:
                 key, pk, wk = jax.random.split(key, 3)
                 x = dataset.batch_at(val_idx[: args.vis_samples])
-                recon, _, _ = model.apply(state.params, x, rngs={"sample": wk})
+                recon, _, _ = _vis_forward(model)(state.params, x, wk)
                 log_reconstructions_tensorboard(writer, x, recon, epoch)
 
         val_loss = val_metrics.get("val_loss", float("inf"))
