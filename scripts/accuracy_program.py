@@ -27,6 +27,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -105,26 +106,46 @@ def latent_metrics(mu, logvar, labels):
     return out
 
 
+@functools.lru_cache(maxsize=4)
+def _rot90_mus(model):
+    """Jitted paired encode, cached per (hash-equal) model so every config
+    shares one compilation."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def both_mus(params, x):
+        xr = jnp.rot90(x, k=1, axes=(1, 2))
+        mu0 = model.apply(params, x, method="encode")[0]
+        mu1 = model.apply(params, xr, method="encode")[0]
+        return mu0, mu1
+
+    return both_mus
+
+
 def rot90_cosine(model, params, x):
     """Mean cosine similarity of mu(x) vs mu(rot90 x) — the strict verdict
     metric (reference verify_rotational_invariance thresholds 0.99/0.95)."""
-    import jax.numpy as jnp
-
-    xr = jnp.rot90(x, k=1, axes=(1, 2))
-    mu0 = np.asarray(model.apply(params, x, method="encode")[0], dtype=np.float64)
-    mu1 = np.asarray(model.apply(params, xr, method="encode")[0], dtype=np.float64)
+    mu0, mu1 = _rot90_mus(model)(params, x)
+    mu0 = np.asarray(mu0, dtype=np.float64)
+    mu1 = np.asarray(mu1, dtype=np.float64)
     num = np.sum(mu0 * mu1, axis=1)
     den = np.linalg.norm(mu0, axis=1) * np.linalg.norm(mu1, axis=1) + 1e-12
     return float(np.mean(num / den))
 
 
-def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args):
+def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache):
     import jax
     import jax.numpy as jnp
 
     from livae_tpu.models.rvae import RVAE
     from livae_tpu.train.engine import make_fused_encode, make_fused_rvae_train_step
-    from livae_tpu.train.state import TrainState, cosine_annealing, make_optimizer
+    from livae_tpu.train.state import (
+        TrainState,
+        beta_at_epoch,
+        cosine_annealing,
+        make_optimizer,
+    )
 
     t0 = time.time()
     model = RVAE(
@@ -140,36 +161,48 @@ def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args):
     n = len(train_ds)
     batch = min(args.batch_size, n)
     steps = max(1, n // batch)
-    tx = make_optimizer(
-        cosine_annealing(cfg["lr"], args.epochs * steps),
-        optimizer="adamw", weight_decay=1e-5,
-    )
+    # Configs sharing a normalize flag share one compiled step/encode (all
+    # configs use the same lr schedule; beta/gamma are traced arguments).
+    if cfg["normalize"] not in step_cache:
+        tx = make_optimizer(
+            cosine_annealing(cfg["lr"], args.epochs * steps),
+            optimizer="adamw", weight_decay=1e-5,
+        )
+        step_cache[cfg["normalize"]] = (
+            tx,
+            make_fused_rvae_train_step(
+                model, tx, patch_size=args.patch_size, padding=args.padding,
+                cfg=train_ds.transform, margin=train_ds._margin,
+                canonical_weight=0.2, grad_max_norm=20.0,
+                normalize=cfg["normalize"],
+            ),
+            make_fused_encode(
+                model, patch_size=args.patch_size, padding=args.padding,
+                margin=eval_ds._margin, normalize=cfg["normalize"],
+            ),
+        )
+    tx, step, encode = step_cache[cfg["normalize"]]
     state = TrainState.create(params, tx)
-    step = make_fused_rvae_train_step(
-        model, tx, patch_size=args.patch_size, padding=args.padding,
-        cfg=train_ds.transform, margin=train_ds._margin,
-        canonical_weight=0.2, grad_max_norm=20.0, normalize=cfg["normalize"],
-    )
     frames_padded, img_idx_dev, coords_dev, _ = train_ds.device_site_table
 
     tm = {}
     for epoch in range(args.epochs):
+        beta_e = beta_at_epoch(
+            epoch, cfg["beta"], anneal=args.beta_annealing,
+            warmup_epochs=5, ramp_epochs=15,
+        )
         key, ek = jax.random.split(key)
         kperm, kstep = jax.random.split(ek)
         perm = jax.random.permutation(kperm, n)
         idx_batches = perm[: steps * batch].reshape(steps, batch)
         state, tm = step(
             state, frames_padded, img_idx_dev, coords_dev, idx_batches,
-            kstep, cfg["beta"], cfg["gamma"],
+            kstep, beta_e, cfg["gamma"],
         )
     train_loss = float(tm.get("loss", np.nan))
     train_time = time.time() - t0
 
     # held-out evaluation
-    encode = make_fused_encode(
-        model, patch_size=args.patch_size, padding=args.padding,
-        margin=eval_ds._margin, normalize=cfg["normalize"],
-    )
     ef, ei, ec, _ = eval_ds.device_site_table
     n_eval = len(eval_ds)
     eb = min(512, n_eval)
@@ -193,7 +226,8 @@ def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args):
         )
     metrics["rot90_mu_cosine"] = rot90_cosine(model, state.params, probe)
     metrics.update(
-        config=dict(cfg), train_loss=train_loss,
+        config=dict(cfg, beta_annealing=args.beta_annealing, epochs=args.epochs),
+        train_loss=train_loss,
         train_seconds=round(train_time, 1),
         eval_sites=int(msk.sum()),
         train_rotation_std=float(tm.get("rotation_std", np.nan)),
@@ -250,9 +284,10 @@ def main(args):
             )
 
     results = []
+    step_cache: dict = {}
     for i, cfg in enumerate(configs):
         print(f"[{i + 1}/{len(configs)}] {cfg} ...", flush=True)
-        m = run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args)
+        m = run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache)
         print(
             f"  ARI {m['kmeans_ari']:.3f} | lin-acc {m['linear_accuracy']:.3f} | "
             f"vac-AUC {m['vacancy_auc']:.3f} | kld {m['kld_mean']:.3f} | "
@@ -281,6 +316,12 @@ def build_argparser():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--gamma", type=float, default=10.0)
     p.add_argument("--betas", type=float, nargs="+", default=[0.1, 0.5, 1.0, 10.0])
+    p.add_argument(
+        "--beta-annealing", action="store_true", default=True,
+        help="0 during 5 warmup epochs, 15-epoch linear ramp to beta "
+        "(the production train_rvae recipe)",
+    )
+    p.add_argument("--no-beta-annealing", dest="beta_annealing", action="store_false")
     p.add_argument("--norm-ablation", action="store_true", default=True)
     p.add_argument("--no-norm-ablation", dest="norm_ablation", action="store_false")
     p.add_argument("--out", type=str, default="accuracy_results.json")
