@@ -141,19 +141,45 @@ def _minmax_normalize(p: jax.Array) -> jax.Array:
 
 
 def _scale_translate(
-    rois: jax.Array, ry: jax.Array, rx: jax.Array, out_size: int, scale: jax.Array
+    rois: jax.Array,
+    ry: jax.Array,
+    rx: jax.Array,
+    out_size: int,
+    scale: jax.Array,
+    flip_h: jax.Array | None = None,
+    flip_v: jax.Array | None = None,
+    jy: jax.Array | None = None,
+    jx: jax.Array | None = None,
 ) -> jax.Array:
     """Separable resample: output grid of `out_size`, atom at out_size/2,
     scaled by `scale` about the atom center.
 
     For scale == 1 this is exactly the reference's bilinear recentering
     translate (pure translation is separable-bilinear-exact).
+
+    flip_h/flip_v/jy/jx, when given, FOLD the post-resample flip + torch.roll
+    jitter (reference data.py:105-114 order: flips, then roll) into the
+    sampling grid: a roll is an index shift mod n and a flip an index
+    reversal of the OUTPUT positions, so evaluating the same source
+    coordinates at the permuted output index is bit-identical to resampling
+    first and permuting after — while skipping the extra full-image
+    flip/where and butterfly-logroll passes entirely.
     """
     B = rois.shape[0]
     c_out = out_size / 2.0  # reference convention: atom lands at index P/2
-    grid = jnp.arange(out_size, dtype=jnp.float32)[None, :]  # [1, n]
-    src_y = (grid - c_out) / scale[:, None] + ry[:, None]
-    src_x = (grid - c_out) / scale[:, None] + rx[:, None]
+    grid = jnp.arange(out_size, dtype=jnp.int32)[None, :]  # [1, n]
+
+    def src_for(r, flip, j):
+        m = grid
+        if j is not None:
+            # torch.roll(shifts=j): out[i] = in[(i - j) mod n]
+            m = jnp.mod(m - j[:, None], out_size)
+        if flip is not None:
+            m = jnp.where(flip[:, None], out_size - 1 - m, m)
+        return (m.astype(jnp.float32) - c_out) / scale[:, None] + r[:, None]
+
+    src_y = src_for(ry, flip_v, jy)
+    src_x = src_for(rx, flip_h, jx)
     out = _axis_resample(rois, src_y, axis=1)
     out = _axis_resample(out, src_x, axis=2)
     return out
@@ -236,13 +262,16 @@ def _extract_batch_impl(
         flip_h = flip_v = jnp.zeros((B,), bool)
         jy = jx = jnp.zeros((B,), jnp.int32)
 
-    p = _scale_translate(rois, ry, rx, P2, scale)
-
-    if cfg is not None and cfg.rotation:
-        p = rotate_image_fast(p[..., None], angle, padding_mode="zeros")[..., 0]
-
-    if cfg is not None:
-        p = _flips_and_jitter(p, flip_h, flip_v, jy, jx)
+    if cfg is not None and not cfg.rotation:
+        # flips + roll jitter folded into the resample grid (bit-identical)
+        p = _scale_translate(rois, ry, rx, P2, scale, flip_h, flip_v, jy, jx)
+    else:
+        p = _scale_translate(rois, ry, rx, P2, scale)
+        if cfg is not None and cfg.rotation:
+            p = rotate_image_fast(p[..., None], angle, padding_mode="zeros")[..., 0]
+        if cfg is not None:
+            # flips/jitter follow the rotation here, so they cannot fold
+            p = _flips_and_jitter(p, flip_h, flip_v, jy, jx)
 
     p = _center_crop_b(p, patch_size)
     if normalize:
@@ -288,9 +317,12 @@ def _extract_batch_paired_impl(
         flip_h = flip_v = jnp.zeros((B,), bool)
         jy = jx = jnp.zeros((B,), jnp.int32)
 
-    p_big = _scale_translate(rois, ry, rx, P2, scale)
     if cfg is not None:
-        p_big = _flips_and_jitter(p_big, flip_h, flip_v, jy, jx)
+        # flips + roll jitter folded into the resample grid (bit-identical;
+        # the paired rotation below then sees the exact same p_big)
+        p_big = _scale_translate(rois, ry, rx, P2, scale, flip_h, flip_v, jy, jx)
+    else:
+        p_big = _scale_translate(rois, ry, rx, P2, scale)
 
     angle = jax.random.uniform(kangle, (B,), minval=0.0, maxval=2 * jnp.pi)
     # +angle in the STN grid convention => theta_rot = theta_orig - angle,

@@ -120,9 +120,12 @@ def _bwd(axis, interpret, residuals, g):
     x, delta = residuals
     # adjoint of the lerp w.r.t. x == the same shift with -delta
     dx = _fractional_shift_fwd_impl(g, -delta, axis, interpret)
-    # d/ddelta: out = (1-f) g0 + f g1 -> d out/d delta = g1 - g0 (per element)
+    # d/ddelta: out = (1-f) g0 + f g1 -> d out/d delta = g1 - g0 (per element).
+    # g1 = shift(x, floor(delta)+1) is exactly g0 rolled by -1 along the
+    # shifted axis (integral shifts are pure index rolls), so one kernel
+    # call + a static roll replaces two kernel calls.
     g0 = _fractional_shift_fwd_impl(x, jnp.floor(delta), axis, interpret)
-    g1 = _fractional_shift_fwd_impl(x, jnp.floor(delta) + 1.0, axis, interpret)
+    g1 = jnp.roll(g0, -1, axis=axis)
     per_elem = (g1 - g0) * g
     ddelta = jnp.sum(per_elem, axis=axis).astype(delta.dtype)
     return dx, ddelta

@@ -72,6 +72,29 @@ class TestExtraction:
         assert p[0, 0] == 0.0  # outside the frame
         assert p[20, 20] == 1.0  # inside
 
+    def test_folded_flips_jitter_bit_identical(self):
+        """The flip+roll fold into the resample grid must be bit-identical
+        to resampling first and applying _flips_and_jitter after (the
+        formulation the fold replaced)."""
+        from livae_tpu.data.pipeline import _flips_and_jitter, _scale_translate
+
+        rng = np.random.default_rng(3)
+        B, R, P2 = 16, 96, 80
+        rois = jnp.asarray(rng.random((B, R, R), dtype=np.float32))
+        ry = jnp.asarray(rng.uniform(R / 2 - 1, R / 2 + 1, B).astype(np.float32))
+        rx = jnp.asarray(rng.uniform(R / 2 - 1, R / 2 + 1, B).astype(np.float32))
+        scale = jnp.asarray(rng.uniform(0.9, 1.1, B).astype(np.float32))
+        fh = jnp.asarray(rng.random(B) < 0.5)
+        fv = jnp.asarray(rng.random(B) < 0.5)
+        jy = jnp.asarray(rng.integers(-4, 5, B), jnp.int32)
+        jx = jnp.asarray(rng.integers(-4, 5, B), jnp.int32)
+
+        seq = _flips_and_jitter(
+            _scale_translate(rois, ry, rx, P2, scale), fh, fv, jy, jx
+        )
+        fold = _scale_translate(rois, ry, rx, P2, scale, fh, fv, jy, jx)
+        np.testing.assert_array_equal(np.asarray(seq), np.asarray(fold))
+
     def test_normalization(self):
         frame = np.random.default_rng(0).random((128, 128)).astype(np.float32) * 7 + 3
         fp = pad_frames(jnp.asarray(frame)[None], 64)
