@@ -49,6 +49,7 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+
     from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset
     from livae_tpu.data.synthetic import synthetic_mos2_frame
     from livae_tpu.models.rvae import RVAE

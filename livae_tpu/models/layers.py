@@ -22,6 +22,7 @@ __all__ = [
     "Conv",
     "ConvTranspose",
     "Dense",
+    "FusedUpConv",
     "max_pool_2x2",
     "reflection_pad_1",
 ]
@@ -149,6 +150,53 @@ class Dense(nn.Module):
             dtype=self.dtype,
             name="dense",
         )(x)
+
+
+class _ConvParams(nn.Module):
+    """Declares a Conv3x3's kernel/bias under the same names/shapes/inits
+    as the nn.Conv inside `Conv` (scope "conv" -> {kernel HWIO, bias}), so
+    FusedUpConv is checkpoint-compatible with the unfused Upsample+Pad+Conv
+    stage it replaces."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        k = self.kernel_size
+        fan_in = k * k * in_ch
+        kernel = self.param(
+            "kernel", torch_kernel_init, (k, k, in_ch, self.features)
+        )
+        bias = self.param("bias", torch_bias_init_for(fan_in), (self.features,))
+        return kernel, bias
+
+
+class FusedUpConv(nn.Module):
+    """Decoder stage [Upsample2x bilinear -> ReflectionPad(1) -> Conv3x3]
+    computed as ONE half-resolution 4-phase convolution (exact, boundaries
+    included — see livae_tpu.ops.upconv).
+
+    Numerically identical to the unfused chain (reference:
+    src/livae/model.py:355-373) at float32; on TPU it avoids the
+    lane-starved full-resolution small-channel convs and the 2x-resolution
+    intermediates that dominated the decoder's cost.
+    """
+
+    features: int
+    dtype: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.upconv import fused_upsample_reflect_conv
+
+        kernel, bias = _ConvParams(self.features, 3, name="conv")(x.shape[-1])
+        if self.dtype is not None:
+            cd = jnp.dtype(self.dtype)
+            x = x.astype(cd)
+            kernel = kernel.astype(cd)
+            bias = bias.astype(cd)
+        return fused_upsample_reflect_conv(x, kernel, bias)
 
 
 def max_pool_2x2(x):

@@ -32,7 +32,7 @@ from ..ops.resample import (
     rotation_matrix,
     upsample2x_bilinear,
 )
-from .layers import Conv, Dense, max_pool_2x2, reflection_pad_1
+from .layers import Conv, Dense, FusedUpConv, max_pool_2x2, reflection_pad_1
 from .vae import ENCODER_WIDTHS, reparameterize
 
 __all__ = ["RotationSTN", "Encoder", "Decoder", "RVAE"]
@@ -59,33 +59,46 @@ class RotationSTN(nn.Module):
     fast_resample: bool = True
     compute_dtype: str | None = None
 
-    @nn.compact
-    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
-        h = Conv(16, kernel_size=5, stride=1, padding=2,
-                 dtype=self.compute_dtype, name="loc_conv0")(x)
-        h = nn.relu(h)
-        h = max_pool_2x2(h)
-        h = Conv(32, kernel_size=5, stride=1, padding=2,
-                 dtype=self.compute_dtype, name="loc_conv1")(h)
-        h = nn.relu(h)
-        h = max_pool_2x2(h)
-        h = h.reshape(h.shape[0], -1).astype(jnp.float32)
-        h = Dense(32, name="loc_fc0")(h)
-        h = nn.relu(h)
-        vec = nn.Dense(
+    def setup(self):
+        # Attribute names double as param-tree names; they match the
+        # explicit names the original compact definition used, so
+        # checkpoints are unaffected by the setup-style refactor.
+        self.loc_conv0 = Conv(16, kernel_size=5, stride=1, padding=2,
+                              dtype=self.compute_dtype)
+        self.loc_conv1 = Conv(32, kernel_size=5, stride=1, padding=2,
+                              dtype=self.compute_dtype)
+        self.loc_fc0 = Dense(32)
+        self.loc_fc1 = nn.Dense(
             2,
             kernel_init=_stn_head_kernel_init,
             bias_init=nn.initializers.zeros,
-            name="loc_fc1",
-        )(h)
+        )
+
+    def localize(self, x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Localization net only: x -> (cos, sin, theta[B, 1]).
+
+        The cheap half of the STN (reference: model.py:203-214,237-251);
+        callers that need only the angle (cycle-consistency's second
+        encoder pass, STN pretraining) skip the resample + conv trunk.
+        """
+        h = nn.relu(self.loc_conv0(x))
+        h = max_pool_2x2(h)
+        h = nn.relu(self.loc_conv1(h))
+        h = max_pool_2x2(h)
+        h = h.reshape(h.shape[0], -1).astype(jnp.float32)
+        h = nn.relu(self.loc_fc0(h))
+        vec = self.loc_fc1(h)
 
         # Normalize to the unit circle (F.normalize eps=1e-6, model.py:245)
         norm = jnp.linalg.norm(vec, axis=1, keepdims=True)
         vec = vec / jnp.maximum(norm, 1e-6)
         cos_theta = vec[:, 0]
         sin_theta = vec[:, 1]
-
         theta = jnp.arctan2(sin_theta, cos_theta)[:, None]  # [B, 1]
+        return cos_theta, sin_theta, theta
+
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        cos_theta, sin_theta, theta = self.localize(x)
         if self.fast_resample:
             x_rotated = rotate_image_fast(x, theta, padding_mode="reflection")
         else:
@@ -126,12 +139,38 @@ class Encoder(nn.Module):
         self.fc_logvar = Dense(self.latent_dim, name="fc_logvar")
 
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+        mu, logvar, theta, _ = self.encode_with_canonical(x)
+        return mu, logvar, theta
+
+    def encode_with_canonical(
+        self, x: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Encode and also return the STN-canonicalized input.
+
+        The canonicalized patch the STN produces IS the canonical-frame
+        target the training loss compares the decoder output against
+        (reference: train.py:357-366 via rotate_to_canonical,
+        train.py:670-677 — the identical +theta reflection-padded
+        resample). Returning it saves the training step a redundant
+        rotation forward+backward.
+        """
         x_rotated, theta = self.rotation_stn(x)
         h = x_rotated
         for conv in self._convs:
             h = nn.relu(conv(h))
         h = h.reshape(h.shape[0], -1).astype(jnp.float32)
-        return self.fc_mu(h), self.fc_logvar(h), theta
+        return self.fc_mu(h), self.fc_logvar(h), theta, x_rotated
+
+    def predict_theta(self, x: jax.Array) -> jax.Array:
+        """Rotation angle only — skips the STN resample and conv trunk.
+
+        Gradient-identical to `self(x)[2]` (mu/logvar receive zero
+        cotangent in every caller that discards them); used for the
+        cycle-consistency pass on the rotated copy
+        (reference: train.py:347-351 computes a full encoder forward
+        there but consumes only theta).
+        """
+        return self.rotation_stn.localize(x)[2]
 
 
 class Decoder(nn.Module):
@@ -155,10 +194,9 @@ class Decoder(nn.Module):
             h = h.astype(jnp.dtype(self.compute_dtype))
         widths = (128, 64, 32, self.out_channels)
         for i, width in enumerate(widths):
-            h = upsample2x_bilinear(h)
-            h = reflection_pad_1(h)
-            h = Conv(width, kernel_size=3, stride=1, padding=0,
-                     dtype=self.compute_dtype, name=f"up_conv{i}")(h)
+            # One fused 4-phase conv per stage == Upsample2x + ReflectPad(1)
+            # + Conv3x3 exactly (model.py:355-373); see ops/upconv.py.
+            h = FusedUpConv(width, dtype=self.compute_dtype, name=f"up_conv{i}")(h)
             if i < len(widths) - 1:
                 h = nn.relu(h)
         return nn.sigmoid(h.astype(jnp.float32))
@@ -189,7 +227,19 @@ class RVAE(nn.Module):
     def __call__(
         self, x: jax.Array
     ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-        mu, logvar, theta = self.encoder(x)
+        return self.train_forward(x)[:5]
+
+    def train_forward(
+        self, x: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Forward returning a 6th output: the STN-canonicalized input.
+
+        Same computation as `__call__` (the reference 5-tuple,
+        model.py:442-472) plus the canonical-frame target the training
+        loss needs anyway — reusing the STN's internal resample instead
+        of recomputing rotate_to_canonical(x, theta) in the loss.
+        """
+        mu, logvar, theta, x_canonical = self.encoder.encode_with_canonical(x)
         z = reparameterize(self.make_rng("sample"), mu, logvar)
         recon = self.decoder(z)
 
@@ -202,10 +252,14 @@ class RVAE(nn.Module):
             mat = RotationSTN.get_rotation_matrix(inverse_theta)
             grid = affine_grid(mat, recon.shape[1:3])
             rotated_recon = grid_sample(recon, grid, padding_mode="reflection")
-        return rotated_recon, recon, theta, mu, logvar
+        return rotated_recon, recon, theta, mu, logvar, x_canonical
 
     def encode(self, x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
         return self.encoder(x)
+
+    def predict_theta(self, x: jax.Array) -> jax.Array:
+        """Localization-net-only rotation angle (see Encoder.predict_theta)."""
+        return self.encoder.predict_theta(x)
 
     def decode(self, z: jax.Array) -> jax.Array:
         return self.decoder(z)

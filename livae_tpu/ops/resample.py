@@ -391,6 +391,11 @@ def upsample2x_bilinear(x: jax.Array) -> jax.Array:
     align_corners=False)` (reference: src/livae/model.py:357-369).
     `jax.image.resize(method="linear")` uses the same half-pixel-center
     convention as torch's align_corners=False.
+
+    Implementation notes (TPU, measured on the v5e tunnel): the resize
+    scale-matrix contraction beat a roll/lerp+interleave variant by ~1.5x
+    inside the decoder (interleaving along the minor dims forces layout
+    shuffles), so resize stays the canonical implementation.
     """
     B, H, W, C = x.shape
     return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="linear")

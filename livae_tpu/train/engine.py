@@ -205,10 +205,15 @@ def make_rvae_train_step(
     """
 
     def loss_fn(params, x, x_rot, angle, key, beta, gamma):
-        rotated_recon, canonical, theta, mu, logvar = model.apply(
-            params, x, rngs={"sample": key}
+        # train_forward returns the STN's canonicalized input as a 6th
+        # output (== rotate_to_canonical(x, theta) bit-for-bit), and the
+        # second pass runs only the localization net — theta is all the
+        # cycle term consumes (reference train.py:347-351 runs a full
+        # encoder forward there; mu/logvar receive zero gradient).
+        rotated_recon, canonical, theta, mu, logvar, canonical_input = model.apply(
+            params, x, rngs={"sample": key}, method="train_forward"
         )
-        _, _, theta_rot = model.apply(params, x_rot, method="encode")
+        theta_rot = model.apply(params, x_rot, method="predict_theta")
         total, rl, kl, cyc = rvae_loss(
             rotated_recon,
             x,
@@ -222,7 +227,6 @@ def make_rvae_train_step(
             use_diversity=use_diversity,
         )
         total = rl + beta * kl + gamma * cyc
-        canonical_input = rotate_to_canonical(x, theta)
         canon_l = jnp.mean((canonical - canonical_input) ** 2)
         if canonical_weight > 0:
             total = total + canonical_weight * canon_l
@@ -308,16 +312,17 @@ def make_fused_rvae_train_step(
     from ..data.pipeline import _extract_batch_paired_impl as extract_batch_paired
 
     def loss_fn(params, x, x_rot, angle, key, beta, gamma):
-        rotated_recon, canonical, theta, mu, logvar = model.apply(
-            params, x, rngs={"sample": key}
+        # Same two savings as make_rvae_train_step's loss_fn: canonical
+        # target reused from the STN resample; theta-only second pass.
+        rotated_recon, canonical, theta, mu, logvar, canonical_input = model.apply(
+            params, x, rngs={"sample": key}, method="train_forward"
         )
-        _, _, theta_rot = model.apply(params, x_rot, method="encode")
+        theta_rot = model.apply(params, x_rot, method="predict_theta")
         total, rl, kl, cyc = rvae_loss(
             rotated_recon, x, mu, logvar, theta, theta_rot, angle,
             beta=1.0, gamma=1.0, use_diversity=use_diversity,
         )
         total = rl + beta * kl + gamma * cyc
-        canonical_input = rotate_to_canonical(x, theta)
         canon_l = jnp.mean((canonical - canonical_input) ** 2)
         if canonical_weight > 0:
             total = total + canonical_weight * canon_l
@@ -509,16 +514,15 @@ def _generic_eval_metrics(model, params, x, key, beta, gamma, use_diversity,
 def _rvae_eval_metrics(model, params, x, x_rot, angle, key, beta, gamma,
                        use_diversity, canonical_weight):
     """Paired eval metric body shared by the per-batch and fused rVAE eval."""
-    rotated_recon, canonical, theta, mu, logvar = model.apply(
-        params, x, rngs={"sample": key}
+    rotated_recon, canonical, theta, mu, logvar, canonical_input = model.apply(
+        params, x, rngs={"sample": key}, method="train_forward"
     )
-    _, _, theta_rot = model.apply(params, x_rot, method="encode")
+    theta_rot = model.apply(params, x_rot, method="predict_theta")
     total, rl, kl, cyc = rvae_loss(
         rotated_recon, x, mu, logvar, theta, theta_rot, angle,
         beta=1.0, gamma=1.0, use_diversity=use_diversity,
     )
     total = rl + beta * kl + gamma * cyc
-    canonical_input = rotate_to_canonical(x, theta)
     canon_l = jnp.mean((canonical - canonical_input) ** 2)
     if canonical_weight > 0:
         total = total + canonical_weight * canon_l

@@ -34,6 +34,10 @@ def maybe_force_cpu(args) -> None:
 
         jax.config.update("jax_platforms", "cpu")
         print("note: --cpu forces the XLA CPU backend")
+    # NOTE: jax's persistent compilation cache was evaluated here and
+    # removed: the tunneled TPU's 2-5 min first-jit warmup is server-side
+    # (a warm on-disk cache saved <15%), and reloading cached CPU AOT
+    # entries across host-feature variations spews loader errors.
 
 
 def resolve_images(args) -> list[np.ndarray]:

@@ -57,8 +57,12 @@ def run_pretrain(args) -> dict:
     state = TrainState.create(params, tx)
 
     def loss_fn(p, x, x_rot, angle):
-        _, _, theta = model.apply(p, x, method="encode")
-        _, _, theta_rot = model.apply(p, x_rot, method="encode")
+        # Localization net only — the cycle loss consumes just the two
+        # angles, so the STN resample + conv trunk + mu/logvar heads the
+        # reference's full encoder passes compute here (pretrain_stn.py:
+        # 106-111) are dead weight; predict_theta is gradient-identical.
+        theta = model.apply(p, x, method="predict_theta")
+        theta_rot = model.apply(p, x_rot, method="predict_theta")
         return cycle_consistency_loss(theta, theta_rot, angle)
 
     @jax.jit

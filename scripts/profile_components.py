@@ -78,15 +78,14 @@ def main(args):
         )
 
     def loss_fn(params, x, x_rot, angle, k):
-        rotated_recon, canonical, theta, mu, logvar = model.apply(
-            params, x, rngs={"sample": k}
+        rotated_recon, canonical, theta, mu, logvar, canonical_input = model.apply(
+            params, x, rngs={"sample": k}, method="train_forward"
         )
-        _, _, theta_rot = model.apply(params, x_rot, method="encode")
+        theta_rot = model.apply(params, x_rot, method="predict_theta")
         total, rl, kl, cyc = rvae_loss(
             rotated_recon, x, mu, logvar, theta, theta_rot, angle,
             beta=1.0, gamma=1.0,
         )
-        canonical_input = rotate_image_fast(x, theta, padding_mode="reflection")
         total = total + 0.2 * jnp.mean((canonical - canonical_input) ** 2)
         return total
 
@@ -116,6 +115,19 @@ def main(args):
         rotated_recon, *_ = model.apply(env["params"], x, rngs={"sample": k})
         return acc + jnp.sum(rotated_recon[0, 0, 0])
 
+    @stage("decoder_fwd")
+    def _(i, acc, k, env):
+        z = jax.random.normal(k, (B, args.latent_dim))
+        recon = model.apply(env["params"], z, method="decode")
+        return acc + jnp.sum(recon[0, 0, 0])
+
+    @stage("inverse_rotate")
+    def _(i, acc, k, env):
+        x, _, _ = extract(env, k)
+        theta = jax.random.uniform(k, (B, 1), minval=-3.1, maxval=3.1)
+        out = rotate_image_fast(x, theta, padding_mode="reflection")
+        return acc + jnp.sum(out[0, 0, 0])
+
     @stage("paired_loss_fwd")
     def _(i, acc, k, env):
         x, x_rot, angle = extract(env, k)
@@ -125,6 +137,41 @@ def main(args):
     def _(i, acc, k, env):
         x, x_rot, angle = extract(env, k)
         total, grads = jax.value_and_grad(loss_fn)(env["params"], x, x_rot, angle, k)
+        return acc + total + optax.global_norm(grads)
+
+    @stage("grad_no_canon")
+    def _(i, acc, k, env):
+        # ablation: drop the canonical-MSE term (removes d/dtheta through
+        # the STN's canonicalizing resample from THAT term's cotangent)
+        def lf(params, x, x_rot, angle, kk):
+            rr, canonical, theta, mu, logvar, ci = model.apply(
+                params, x, rngs={"sample": kk}, method="train_forward"
+            )
+            theta_rot = model.apply(params, x_rot, method="predict_theta")
+            total, rl, kl, cyc = rvae_loss(
+                rr, x, mu, logvar, theta, theta_rot, angle, beta=1.0, gamma=1.0
+            )
+            return total
+
+        x, x_rot, angle = extract(env, k)
+        total, grads = jax.value_and_grad(lf)(env["params"], x, x_rot, angle, k)
+        return acc + total + optax.global_norm(grads)
+
+    @stage("grad_no_cycle")
+    def _(i, acc, k, env):
+        # ablation: drop cycle term + the x_rot localization pass
+        def lf(params, x, kk):
+            rr, canonical, theta, mu, logvar, ci = model.apply(
+                params, x, rngs={"sample": kk}, method="train_forward"
+            )
+            rl = jnp.sum((rr - x) ** 2) / x.shape[0]
+            kl = jnp.mean(
+                -0.5 * jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar), axis=1)
+            )
+            return rl + kl + 0.2 * jnp.mean((canonical - ci) ** 2)
+
+        x, _, _ = extract(env, k)
+        total, grads = jax.value_and_grad(lf)(env["params"], x, k)
         return acc + total + optax.global_norm(grads)
 
     # the full optimizer step mutates state; time it through the real fused path

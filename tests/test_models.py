@@ -80,6 +80,75 @@ class TestShapes:
         assert np.all(np.abs(np.asarray(theta)) <= np.pi + 1e-6)
 
 
+class TestTrainForwardPaths:
+    """The fused train step's cheap paths are exactly the public forward.
+
+    predict_theta must equal encode()[2] bit-for-bit (it runs only the
+    localization net), and train_forward must return the 5-tuple of
+    __call__ plus the STN-canonicalized input, which for the fast
+    resampler equals rotate_image_fast(x, theta) — the canonical-loss
+    target (reference train.py:357-366, 670-677).
+    """
+
+    def _setup(self, fast):
+        model = RVAE(latent_dim=8, patch_size=32, fast_resample=fast)
+        x = jax.random.uniform(jax.random.key(3), (4, 32, 32, 1))
+        params = model.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)}, x
+        )
+        return model, params, x
+
+    @pytest.mark.parametrize("fast", [True, False])
+    def test_predict_theta_matches_encode(self, fast):
+        model, params, x = self._setup(fast)
+        _, _, theta = model.apply(params, x, method="encode")
+        theta_only = model.apply(params, x, method="predict_theta")
+        np.testing.assert_array_equal(np.asarray(theta), np.asarray(theta_only))
+
+    @pytest.mark.parametrize("fast", [True, False])
+    def test_train_forward_matches_call(self, fast):
+        model, params, x = self._setup(fast)
+        out5 = model.apply(params, x, rngs={"sample": jax.random.key(7)})
+        out6 = model.apply(
+            params, x, rngs={"sample": jax.random.key(7)}, method="train_forward"
+        )
+        assert len(out6) == 6
+        for a, b in zip(out5, out6[:5]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_canonical_input_is_rotate_to_canonical(self):
+        from livae_tpu.train.engine import rotate_to_canonical
+
+        model, params, x = self._setup(True)
+        out6 = model.apply(
+            params, x, rngs={"sample": jax.random.key(7)}, method="train_forward"
+        )
+        theta, canonical_input = out6[2], out6[5]
+        np.testing.assert_array_equal(
+            np.asarray(canonical_input), np.asarray(rotate_to_canonical(x, theta))
+        )
+
+    def test_predict_theta_gradients_match_encode(self):
+        """d(cycle-ish scalar)/dparams identical through either pass."""
+        model, params, x = self._setup(True)
+
+        def via_encode(p):
+            return jnp.sum(jnp.sin(model.apply(p, x, method="encode")[2]))
+
+        def via_theta(p):
+            return jnp.sum(jnp.sin(model.apply(p, x, method="predict_theta")))
+
+        g1 = jax.grad(via_encode)(params)
+        g2 = jax.grad(via_theta)(params)
+        flat1 = jax.tree_util.tree_leaves_with_path(g1)
+        flat2 = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+        for k, v in flat1:
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(flat2[jax.tree_util.keystr(k)]),
+                atol=1e-6, err_msg=jax.tree_util.keystr(k),
+            )
+
+
 class TestTorchParity:
     """Reference torch weights -> converted flax params -> identical outputs."""
 
