@@ -57,6 +57,7 @@ def main() -> None:
         make_fused_encode,
         make_fused_rvae_eval,
         make_fused_rvae_train_step,
+        metrics_to_host,
     )
     from livae_tpu.train.state import TrainState, make_optimizer
 
@@ -98,9 +99,10 @@ def main() -> None:
         vm = fused_eval(
             state.params, frames_padded, img_idx_dev, coords_dev, vidx, kv, 10.0, 10.0
         )
-        # host readback = the epoch sync point (logging path)
-        metrics = {k2: float(np.mean(np.asarray(v))) for k2, v in vm.items()}
-        metrics["train_loss"] = float(tm["loss"])
+        # host readback = the epoch sync point (logging path); one stacked
+        # transfer per dict — per-metric reads cost ~20 ms tunnel latency EACH
+        metrics = {k2: float(np.mean(v)) for k2, v in metrics_to_host(vm).items()}
+        metrics["train_loss"] = float(metrics_to_host(tm)["loss"])
         return state, metrics
 
     # warmup/compile with the exact shapes used in the timed region

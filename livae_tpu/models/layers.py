@@ -22,6 +22,7 @@ __all__ = [
     "Conv",
     "ConvTranspose",
     "Dense",
+    "FusedConvPool",
     "FusedUpConv",
     "max_pool_2x2",
     "reflection_pad_1",
@@ -197,6 +198,34 @@ class FusedUpConv(nn.Module):
             kernel = kernel.astype(cd)
             bias = bias.astype(cd)
         return fused_upsample_reflect_conv(x, kernel, bias)
+
+
+class FusedConvPool(nn.Module):
+    """[Conv5x5(pad 2) -> ReLU -> MaxPool2] as one half-resolution phase
+    conv (exact; see livae_tpu.ops.upconv.fused_conv5_relu_maxpool).
+
+    The STN localization blocks (reference: src/livae/model.py:203-214)
+    are the worst conv shapes in the model on TPU (C_in=1 over the full
+    patch); the pool consumes the conv output in aligned 2x2 blocks, so
+    the whole block computes at half resolution with 4x the channels.
+    Param tree matches `Conv` (scope "conv" -> {kernel [5,5,Cin,Cout],
+    bias}) — checkpoint-compatible.
+    """
+
+    features: int
+    dtype: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.upconv import fused_conv5_relu_maxpool
+
+        kernel, bias = _ConvParams(self.features, 5, name="conv")(x.shape[-1])
+        if self.dtype is not None:
+            cd = jnp.dtype(self.dtype)
+            x = x.astype(cd)
+            kernel = kernel.astype(cd)
+            bias = bias.astype(cd)
+        return fused_conv5_relu_maxpool(x, kernel, bias)
 
 
 def max_pool_2x2(x):

@@ -32,7 +32,7 @@ from ..ops.resample import (
     rotation_matrix,
     upsample2x_bilinear,
 )
-from .layers import Conv, Dense, FusedUpConv, max_pool_2x2, reflection_pad_1
+from .layers import Conv, Dense, FusedConvPool, FusedUpConv, max_pool_2x2, reflection_pad_1
 from .vae import ENCODER_WIDTHS, reparameterize
 
 __all__ = ["RotationSTN", "Encoder", "Decoder", "RVAE"]
@@ -63,10 +63,10 @@ class RotationSTN(nn.Module):
         # Attribute names double as param-tree names; they match the
         # explicit names the original compact definition used, so
         # checkpoints are unaffected by the setup-style refactor.
-        self.loc_conv0 = Conv(16, kernel_size=5, stride=1, padding=2,
-                              dtype=self.compute_dtype)
-        self.loc_conv1 = Conv(32, kernel_size=5, stride=1, padding=2,
-                              dtype=self.compute_dtype)
+        # Each FusedConvPool == Conv5x5(pad 2) + ReLU + MaxPool2 exactly
+        # (reference model.py:205-212), computed at half resolution.
+        self.loc_conv0 = FusedConvPool(16, dtype=self.compute_dtype)
+        self.loc_conv1 = FusedConvPool(32, dtype=self.compute_dtype)
         self.loc_fc0 = Dense(32)
         self.loc_fc1 = nn.Dense(
             2,
@@ -81,10 +81,8 @@ class RotationSTN(nn.Module):
         callers that need only the angle (cycle-consistency's second
         encoder pass, STN pretraining) skip the resample + conv trunk.
         """
-        h = nn.relu(self.loc_conv0(x))
-        h = max_pool_2x2(h)
-        h = nn.relu(self.loc_conv1(h))
-        h = max_pool_2x2(h)
+        h = self.loc_conv0(x)   # fused conv+relu+pool
+        h = self.loc_conv1(h)
         h = h.reshape(h.shape[0], -1).astype(jnp.float32)
         h = nn.relu(self.loc_fc0(h))
         vec = self.loc_fc1(h)

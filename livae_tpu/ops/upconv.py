@@ -51,7 +51,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fused_upsample_reflect_conv"]
+__all__ = ["fused_upsample_reflect_conv", "fused_conv5_relu_maxpool"]
 
 # Per-axis phase transforms A_p[s, a]: coefficient of input tap s in
 # output phase p per conv tap a (rows s = -1,0,+1; cols a = -1,0,+1).
@@ -170,3 +170,64 @@ def fused_upsample_reflect_conv(
     if b is not None:
         out = out + b
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused Conv5x5(pad=2) + ReLU + MaxPool(2x2) at half resolution.
+#
+# The STN localization trunk (reference: src/livae/model.py:203-214) runs
+# two [Conv5x5(pad 2) -> ReLU -> MaxPool2] blocks. On TPU the first conv is
+# the worst shape in the model: C_in=1 over a 128^2 map (vector lanes ~1%
+# occupied). But the pool consumes the conv output in aligned 2x2 blocks —
+# exactly the four phases of a stride-2 decomposition — so the whole block
+# collapses to ONE 3x3 convolution over the space-to-depth input:
+#
+#   out[i,j] = max_{p,q in {0,1}} relu( sum_{u,v} k[u,v] x[2i+p+u, 2j+q+v] + b )
+#
+# With coarse taps s and input phases pi, the fine tap index is
+# u = 2s + pi - p (|u| <= 2), giving a [3,3,4Cin,4Cout] kernel built by
+# gathering from the zero-padded 5x5 kernel. Zero 'same' padding on the
+# fine grid equals zero padding of the phase grid, so — unlike the
+# reflect-padded decoder stage above — NO boundary corrections are needed;
+# the equivalence is exact everywhere. relu commutes with max (monotone),
+# so the phase maximum can be taken after the activation.
+# ---------------------------------------------------------------------------
+
+
+def _space_to_depth2(x: jax.Array) -> jax.Array:
+    """[B, 2n, 2m, C] -> [B, n, m, 4C] with channel order (p, q, c)."""
+    B, H, W, C = x.shape
+    y = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(B, H // 2, W // 2, 4 * C)
+
+
+def _phase_gather_5to3(k5: jax.Array) -> jax.Array:
+    """[5,5,Cin,Cout] -> [3,3,4Cin,4Cout] phase kernel (order (p,q) out,
+    (pi,qi) in, channel-minor)."""
+    Cin, Cout = k5.shape[2], k5.shape[3]
+    kpad = jnp.pad(k5, ((1, 1), (1, 1), (0, 0), (0, 0)))  # index u+3, u in [-3,3]
+    s = np.arange(-1, 2)
+    p = np.arange(2)
+    # I[s, pi, p] = 2s + pi - p + 3  in [0, 6]
+    idx = (2 * s[:, None, None] + p[None, :, None] - p[None, None, :]) + 3
+    kk = kpad[idx][:, :, :, idx]  # [s,pi,p, t,qi,q, Cin, Cout]
+    kk = jnp.transpose(kk, (0, 3, 1, 4, 6, 2, 5, 7))  # [s,t,pi,qi,Cin,p,q,Cout]
+    return kk.reshape(3, 3, 4 * Cin, 4 * Cout)
+
+
+def fused_conv5_relu_maxpool(x: jax.Array, k5: jax.Array, b: jax.Array) -> jax.Array:
+    """Exact MaxPool2(ReLU(Conv5x5(x, pad='same', bias=b))), NHWC, H,W even.
+
+    x: [B, H, W, Cin]; k5: [5, 5, Cin, Cout]; b: [Cout].
+    Returns [B, H/2, W/2, Cout] computed entirely at half resolution.
+    """
+    B, H, W, Cin = x.shape
+    Cout = k5.shape[-1]
+    xs = _space_to_depth2(x)  # [B, H/2, W/2, 4Cin]
+    k = _phase_gather_5to3(k5)
+    y = jax.lax.conv_general_dilated(
+        xs, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = jax.nn.relu(y.reshape(B, H // 2, W // 2, 4, Cout) + b)
+    return jnp.max(y, axis=3)

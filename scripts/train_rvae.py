@@ -34,6 +34,7 @@ from livae_tpu.parallel.mesh import make_mesh, resolve_num_devices
 from livae_tpu.train.engine import (
     MetricLogger,
     evaluate_fused,
+    metrics_to_host,
     log_reconstructions_tensorboard,
     log_scalar_metrics_tensorboard,
     make_fused_rvae_eval,
@@ -201,7 +202,8 @@ def run_training(args) -> dict:
             state, frames_padded, img_idx_dev, coords_dev,
             idx_batches, kstep, beta, args.gamma,
         )
-        epoch_logger.update(**{f"train_{k}": float(v) for k, v in train_metrics.items()})
+        train_host = metrics_to_host(train_metrics)  # one transfer, not 7
+        epoch_logger.update(**{f"train_{k}": float(v) for k, v in train_host.items()})
         train_time = time.time() - t0
         total_patches += steps_per_epoch * args.batch_size
 

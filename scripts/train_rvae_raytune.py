@@ -45,6 +45,7 @@ from livae_tpu.sweep import (
 )
 from livae_tpu.train.engine import (
     evaluate_fused,
+    metrics_to_host,
     make_fused_eval,
     make_fused_vae_train_step,
 )
@@ -189,7 +190,7 @@ def make_trainable(args, images):
                 epoch=epoch + 1,
                 loss=val_loss,
                 val_loss=val_loss,
-                train_loss=float(tm["loss"]),
+                train_loss=float(metrics_to_host(tm)["loss"]),
                 val_psnr=vm.get("val_psnr", 0.0),
                 checkpoint=ckpt_path,
             )

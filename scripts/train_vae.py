@@ -26,6 +26,7 @@ from livae_tpu.parallel.mesh import make_mesh, resolve_num_devices
 from livae_tpu.train.engine import (
     MetricLogger,
     evaluate_fused,
+    metrics_to_host,
     log_reconstructions_tensorboard,
     log_scalar_metrics_tensorboard,
     make_fused_eval,
@@ -129,7 +130,8 @@ def run_training(args) -> dict:
         state, train_metrics = train_step(
             state, frames_padded, img_idx_dev, coords_dev, idx_batches, kstep, beta, 0.0
         )
-        logger.update(**{f"train_{k}": float(v) for k, v in train_metrics.items()})
+        train_host = metrics_to_host(train_metrics)  # one transfer, not 5
+        logger.update(**{f"train_{k}": float(v) for k, v in train_host.items()})
         train_time = time.time() - t0
         total_patches += steps_per_epoch * args.batch_size
 

@@ -47,6 +47,59 @@ def test_fused_matches_unfused(shape, cout):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
 
 
+class TestFusedConvPool:
+    """fused_conv5_relu_maxpool == MaxPool2(ReLU(Conv5x5(pad 2))) exactly.
+
+    Reference semantics: the STN localization blocks, model.py:203-214.
+    """
+
+    @staticmethod
+    def unfused(x, k, b):
+        from flax import linen as nn
+
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        return nn.max_pool(jax.nn.relu(y), (2, 2), strides=(2, 2))
+
+    @pytest.mark.parametrize(
+        "shape,cout",
+        [
+            ((2, 16, 16, 1), 16),   # loc_conv0-like
+            ((2, 8, 8, 16), 32),    # loc_conv1-like
+            ((1, 4, 12, 3), 4),     # rectangular
+        ],
+    )
+    def test_matches_unfused(self, shape, cout):
+        from livae_tpu.ops.upconv import fused_conv5_relu_maxpool
+
+        rng = np.random.default_rng(hash((shape, cout)) % 2**32)
+        x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+        k = jnp.asarray(0.3 * rng.standard_normal((5, 5, shape[-1], cout), dtype=np.float32))
+        b = jnp.asarray(rng.standard_normal((cout,), dtype=np.float32))
+        ref = np.asarray(self.unfused(x, k, b))
+        got = np.asarray(fused_conv5_relu_maxpool(x, k, b))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_gradients_match(self):
+        from livae_tpu.ops.upconv import fused_conv5_relu_maxpool
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 2), dtype=np.float32))
+        k = jnp.asarray(0.3 * rng.standard_normal((5, 5, 2, 4), dtype=np.float32))
+        b = jnp.asarray(rng.standard_normal((4,), dtype=np.float32))
+        cot = jnp.asarray(rng.standard_normal((2, 4, 4, 4), dtype=np.float32))
+
+        g_ref = jax.grad(lambda *a: jnp.sum(self.unfused(*a) * cot), argnums=(0, 1, 2))(x, k, b)
+        g_fus = jax.grad(
+            lambda *a: jnp.sum(fused_conv5_relu_maxpool(*a) * cot), argnums=(0, 1, 2)
+        )(x, k, b)
+        for a, c in zip(g_ref, g_fus):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=3e-5, rtol=1e-4)
+
+
 def test_fused_gradients_match():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 6, 6, 3), dtype=np.float32))
