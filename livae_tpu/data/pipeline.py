@@ -268,7 +268,11 @@ def _extract_batch_impl(
     else:
         p = _scale_translate(rois, ry, rx, P2, scale)
         if cfg is not None and cfg.rotation:
-            p = rotate_image_fast(p[..., None], angle, padding_mode="zeros")[..., 0]
+            # margin S//6: safe for the central patch_size kept below (see
+            # the paired path's note + regression test)
+            p = rotate_image_fast(
+                p[..., None], angle, padding_mode="zeros", margin=P2 // 6
+            )[..., 0]
         if cfg is not None:
             # flips/jitter follow the rotation here, so they cannot fold
             p = _flips_and_jitter(p, flip_h, flip_v, jy, jx)
@@ -327,7 +331,15 @@ def _extract_batch_paired_impl(
     angle = jax.random.uniform(kangle, (B,), minval=0.0, maxval=2 * jnp.pi)
     # +angle in the STN grid convention => theta_rot = theta_orig - angle,
     # the relation cycle_consistency_loss expects.
-    rot_big = rotate_image_fast(p_big[..., None], angle, padding_mode="zeros")[..., 0]
+    # margin S//6 (not the default S//4): wraparound only ever corrupts the
+    # outer ring of the rotated P2-canvas, and this path keeps just the
+    # central patch_size crop — bit-identical on the kept region
+    # (tests/test_data.py::test_paired_rotation_margin), while the smaller
+    # pad keeps the shear canvas at 256 lanes for the production shapes
+    # (192 -> 256 instead of 288: aligned to the TPU's 128-lane tiles).
+    rot_big = rotate_image_fast(
+        p_big[..., None], angle, padding_mode="zeros", margin=P2 // 6
+    )[..., 0]
 
     patch = _center_crop_b(p_big, patch_size)
     rotated = _center_crop_b(rot_big, patch_size)

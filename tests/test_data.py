@@ -183,6 +183,34 @@ class TestPaired:
         assert center_err.mean() < 0.12
 
 
+class TestRotationMargin:
+    """margin=S//6 rotations are bit-identical on the kept central crop.
+
+    The extraction pipeline rotates the padded S-canvas and keeps only the
+    central patch_size crop; wraparound from the reduced shear margin only
+    ever touches the discarded outer ring. Pins the equality against the
+    conservative default margin S//4 over an angle grid, at the production
+    shape (S=192, keep 128), the reference-default-padding shape (S=224,
+    keep 128), and a small shape (S=96, keep 64).
+    """
+
+    @pytest.mark.parametrize("S,keep", [(192, 128), (224, 128), (96, 64)])
+    def test_central_crop_equal(self, S, keep):
+        from livae_tpu.ops.resample import center_crop, rotate_image_fast
+
+        rng = np.random.default_rng(S)
+        x = jnp.asarray(rng.random((4, S, S, 1), dtype=np.float32))
+        for frac in (0.0, 0.11, 0.23, 0.37, 0.49, 0.61, 0.74, 0.88, 0.99):
+            th = jnp.full((4,), 2 * np.pi * frac, jnp.float32)
+            a = rotate_image_fast(x, th, padding_mode="zeros", margin=S // 4)
+            b = rotate_image_fast(x, th, padding_mode="zeros", margin=S // 6)
+            np.testing.assert_array_equal(
+                np.asarray(center_crop(a, (keep, keep))),
+                np.asarray(center_crop(b, (keep, keep))),
+                err_msg=f"S={S} keep={keep} frac={frac}",
+            )
+
+
 class TestAugmentDistributions:
     def test_distributions_match_reference(self):
         from livae_tpu.data.pipeline import _sample_aug
