@@ -98,6 +98,13 @@ class RotationSTN(nn.Module):
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         cos_theta, sin_theta, theta = self.localize(x)
         if self.fast_resample:
+            # Under the mixed-precision policy the canonicalizing resample
+            # runs in the compute dtype — the TPU analog of the reference's
+            # AMP, where F.grid_sample executes in half precision inside
+            # the autocast region (reference train.py:75, model.py:258).
+            # The conv trunk consumes the result in that dtype anyway.
+            if self.compute_dtype is not None:
+                x = x.astype(jnp.dtype(self.compute_dtype))
             x_rotated = rotate_image_fast(x, theta, padding_mode="reflection")
         else:
             mat = rotation_matrix(cos_theta, sin_theta)
@@ -243,9 +250,15 @@ class RVAE(nn.Module):
 
         inverse_theta = -theta
         if self.fast_resample:
+            # Inverse rotation in the compute dtype (AMP analog, see
+            # RotationSTN.__call__); output restored to float32 — the
+            # public forward contract and the loss reductions stay f32.
+            rec_in = recon
+            if self.compute_dtype is not None:
+                rec_in = recon.astype(jnp.dtype(self.compute_dtype))
             rotated_recon = rotate_image_fast(
-                recon, inverse_theta, padding_mode="reflection"
-            )
+                rec_in, inverse_theta, padding_mode="reflection"
+            ).astype(jnp.float32)
         else:
             mat = RotationSTN.get_rotation_matrix(inverse_theta)
             grid = affine_grid(mat, recon.shape[1:3])

@@ -45,7 +45,7 @@ def _shift_kernel(x_ref, delta_ref, out_ref, scratch, *, axis: int, n: int, nbit
     delta = delta_ref[:]  # [TB, 1, n_other]
 
     k = jnp.floor(delta)
-    f = (delta - k).astype(x_ref.dtype)
+    f = delta - k
     k = jnp.mod(k.astype(jnp.int32), n)
 
     if axis == 1:
@@ -55,7 +55,11 @@ def _shift_kernel(x_ref, delta_ref, out_ref, scratch, *, axis: int, n: int, nbit
         kb = jnp.swapaxes(k, 1, 2)  # [TB, H, 1] broadcasts over W (axis 2)
         fb = jnp.swapaxes(f, 1, 2)
 
-    scratch[:] = x_ref[:]
+    # The scratch works in float32 regardless of the I/O dtype: the TPU's
+    # dynamic_rotate only supports 32-bit vectors ("Rotate with non-32-bit
+    # data"), and the upcast is free relative to the HBM saving — bf16
+    # tiles still halve the kernel's HBM read/write traffic.
+    scratch[:] = x_ref[:].astype(jnp.float32)
     for t in range(nbits):
         step = 1 << t
         if step >= n:
@@ -65,7 +69,7 @@ def _shift_kernel(x_ref, delta_ref, out_ref, scratch, *, axis: int, n: int, nbit
         scratch[:] = jnp.where(bit, cand, scratch[:])
 
     nxt = pltpu.roll(scratch[:], n - 1, axis=axis)  # == roll by -1
-    out_ref[:] = (1.0 - fb) * scratch[:] + fb * nxt
+    out_ref[:] = ((1.0 - fb) * scratch[:] + fb * nxt).astype(out_ref.dtype)
 
 
 def _fractional_shift_fwd_impl(x, delta, axis, interpret=False):
@@ -75,10 +79,11 @@ def _fractional_shift_fwd_impl(x, delta, axis, interpret=False):
     # Tile a few samples per grid step for DMA efficiency; scratch keeps
     # live VMEM ~2 buffers, so 8x288x288 f32 (2.6 MB each) is safe.
     TB = 1
+    # the scratch is always f32 (see _shift_kernel), so budget on 4 bytes
     while (
         TB * 2 <= B
         and B % (TB * 2) == 0
-        and (TB * 2) * H * W * x.dtype.itemsize <= 2_000_000
+        and (TB * 2) * H * W * 4 <= 2_000_000
     ):
         TB *= 2
     grid = (B // TB,)
@@ -96,7 +101,7 @@ def _fractional_shift_fwd_impl(x, delta, axis, interpret=False):
             ),
         ],
         out_specs=pl.BlockSpec((TB, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TB, H, W), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((TB, H, W), jnp.float32)],
         interpret=interpret,
     )(x, delta3)
 
@@ -126,7 +131,8 @@ def _bwd(axis, interpret, residuals, g):
     # call + a static roll replaces two kernel calls.
     g0 = _fractional_shift_fwd_impl(x, jnp.floor(delta), axis, interpret)
     g1 = jnp.roll(g0, -1, axis=axis)
-    per_elem = (g1 - g0) * g
+    # accumulate the reduction in f32 (inputs may be bf16)
+    per_elem = (g1 - g0).astype(jnp.float32) * g.astype(jnp.float32)
     ddelta = jnp.sum(per_elem, axis=axis).astype(delta.dtype)
     return dx, ddelta
 

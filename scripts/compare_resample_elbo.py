@@ -85,8 +85,12 @@ def main(args) -> dict:
     batch_size = min(args.batch_size, len(val_idx), len(train_idx))
     print(f"Dataset: {len(dataset)} sites; eval batch {batch_size}")
 
+    # --compute-dtype bfloat16 measures the PRODUCTION numerics (bf16 convs
+    # + bf16 fast-path rotations, the reference-AMP analog) against the f32
+    # exact reference path; default None keeps the pure resampler A/B.
+    cd = args.compute_dtype if args.compute_dtype != "none" else None
     fast_model = RVAE(latent_dim=args.latent_dim, patch_size=args.patch_size,
-                      fast_resample=True)
+                      fast_resample=True, compute_dtype=cd)
     exact_model = RVAE(latent_dim=args.latent_dim, patch_size=args.patch_size,
                        fast_resample=False)
 
@@ -96,7 +100,8 @@ def main(args) -> dict:
         latent = int(ck_args.get("latent_dim", args.latent_dim))
         patch = int(ck_args.get("patch_size", args.patch_size))
         params = torch_state_to_params(ckpt["model_state"], rvae_spec(patch, latent))
-        fast_model = RVAE(latent_dim=latent, patch_size=patch, fast_resample=True)
+        fast_model = RVAE(latent_dim=latent, patch_size=patch, fast_resample=True,
+                          compute_dtype=cd)
         exact_model = RVAE(latent_dim=latent, patch_size=patch, fast_resample=False)
         print(f"Loaded weights from {args.checkpoint}")
     else:
@@ -157,6 +162,9 @@ def build_argparser():
     p.add_argument("--patch-size", type=int, default=128)
     p.add_argument("--padding", type=int, default=32)
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--compute-dtype", type=str, default="none",
+                   choices=["none", "bfloat16"],
+                   help="fast-path compute dtype; bfloat16 = production AMP analog")
     p.add_argument("--latent-dim", type=int, default=16)
     p.add_argument("--beta", type=float, default=10.0)
     p.add_argument("--gamma", type=float, default=10.0)

@@ -26,6 +26,32 @@ def test_matches_xla_logroll(rng, axis):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.parametrize("axis", [1, 2])
+def test_bfloat16_io(rng, axis):
+    """bf16 tiles: I/O stays bf16 (half HBM traffic) while the kernel's
+    VMEM scratch computes in f32 (the TPU's dynamic_rotate is 32-bit only).
+    Result == the f32 kernel's output rounded to bf16."""
+    B, H, W = 8, 64, 64
+    x32 = jnp.asarray(rng.standard_normal((B, H, W)).astype(np.float32))
+    x16 = x32.astype(jnp.bfloat16)
+    n_other = W if axis == 1 else H
+    delta = jnp.asarray(rng.uniform(-80, 80, (B, n_other)).astype(np.float32))
+    out16 = fractional_shift_pallas(x16, delta, axis, True)
+    assert out16.dtype == jnp.bfloat16
+    ref = fractional_shift_pallas(x16.astype(jnp.float32), delta, axis, True)
+    np.testing.assert_allclose(
+        np.asarray(out16, dtype=np.float32), np.asarray(ref), atol=0.02, rtol=0.01
+    )
+
+    # gradients flow (custom VJP) and d/ddelta accumulates in f32
+    def loss(xx, dd):
+        return jnp.sum(fractional_shift_pallas(xx, dd, axis, True).astype(jnp.float32))
+
+    gx, gd = jax.grad(loss, argnums=(0, 1))(x16, delta)
+    assert gx.dtype == jnp.bfloat16 and gd.dtype == jnp.float32
+    assert np.isfinite(np.asarray(gd)).all()
+
+
 def test_integer_shifts_exact(rng):
     B, H, W = 4, 32, 32
     x = jnp.asarray(rng.standard_normal((B, H, W)).astype(np.float32))
