@@ -30,9 +30,8 @@ from ..ops.resample import (
     grid_sample,
     rotate_image_fast,
     rotation_matrix,
-    upsample2x_bilinear,
 )
-from .layers import Conv, Dense, FusedConvPool, FusedUpConv, max_pool_2x2, reflection_pad_1
+from .layers import Conv, Dense, FusedConvPool, FusedUpConv
 from .vae import ENCODER_WIDTHS, reparameterize
 
 __all__ = ["RotationSTN", "Encoder", "Decoder", "RVAE"]
