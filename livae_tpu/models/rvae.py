@@ -154,9 +154,12 @@ class Encoder(nn.Module):
         The canonicalized patch the STN produces IS the canonical-frame
         target the training loss compares the decoder output against
         (reference: train.py:357-366 via rotate_to_canonical,
-        train.py:670-677 — the identical +theta reflection-padded
-        resample). Returning it saves the training step a redundant
-        rotation forward+backward.
+        train.py:670-677 — the same +theta reflection-padded resample).
+        Returning it saves the training step a redundant rotation
+        forward+backward. At compute_dtype=None it equals
+        rotate_to_canonical(x, theta) exactly (pinned by
+        tests/test_models.py); under the bfloat16 policy it carries bf16
+        rounding — the AMP analog, like every other compute-dtype tensor.
         """
         x_rotated, theta = self.rotation_stn(x)
         h = x_rotated

@@ -21,7 +21,6 @@ theta[0, 1] indexing in evaluate_rotation_invariance (train.py:753).
 
 from __future__ import annotations
 
-import functools
 from collections import defaultdict
 from typing import Any, Callable, Iterable
 
@@ -187,6 +186,43 @@ def make_train_step(
     return step
 
 
+def _rvae_paired_loss(model, params, x, x_rot, angle, key, beta, gamma,
+                      use_diversity, canonical_weight):
+    """The ONE paired rVAE objective body, shared by the per-batch step,
+    the fused whole-epoch step, and the eval metrics.
+
+    Mirrors reference train_rvae_one_epoch (train.py:286-445): full
+    forward on x, a theta-only localization pass on x_rotated (the
+    reference runs a full encoder forward there, train.py:347-351, but
+    only theta is consumed — mu/logvar receive zero gradient),
+    RVAELoss(beta, gamma) with cycle (or diversity) term, plus
+    canonical_weight * MSE(canonical_recon, canonical_input). The
+    canonical target is train_forward's 6th output — the STN's internal
+    canonicalizing resample, i.e. rotate_to_canonical(x, theta) computed
+    in the model's compute dtype (identical at float32; bf16-rounded
+    under the mixed-precision policy, the reference-AMP analog —
+    see models/rvae.py:train_forward).
+
+    Returns (total, aux) with every term the callers' metrics need.
+    """
+    rotated_recon, canonical, theta, mu, logvar, canonical_input = model.apply(
+        params, x, rngs={"sample": key}, method="train_forward"
+    )
+    theta_rot = model.apply(params, x_rot, method="predict_theta")
+    total, rl, kl, cyc = rvae_loss(
+        rotated_recon, x, mu, logvar, theta, theta_rot, angle,
+        beta=1.0, gamma=1.0, use_diversity=use_diversity,
+    )
+    total = rl + beta * kl + gamma * cyc
+    canon_l = jnp.mean((canonical - canonical_input) ** 2)
+    if canonical_weight > 0:
+        total = total + canonical_weight * canon_l
+    aux = dict(recon=rotated_recon, canonical=canonical,
+               canonical_input=canonical_input, theta=theta, mu=mu,
+               logvar=logvar, rl=rl, kl=kl, cyc=cyc, canon_l=canon_l)
+    return total, aux
+
+
 def make_rvae_train_step(
     model,
     tx,
@@ -195,45 +231,16 @@ def make_rvae_train_step(
     canonical_weight: float = 0.2,
     grad_max_norm: float = 20.0,
 ) -> Callable:
-    """Paired rVAE train step with cycle consistency + canonical loss.
-
-    Mirrors reference train_rvae_one_epoch (train.py:286-445): full
-    forward on x, a second encoder pass on x_rotated for theta_rotated,
-    RVAELoss(beta, gamma) with cycle (or diversity) term, plus
-    canonical_weight * MSE(canonical_recon, rotate_to_canonical(x)).
+    """Paired rVAE train step (see _rvae_paired_loss for the objective).
 
     Returns jitted step(state, x, x_rot, angle, key, beta, gamma).
     """
 
     def loss_fn(params, x, x_rot, angle, key, beta, gamma):
-        # train_forward returns the STN's canonicalized input as a 6th
-        # output (== rotate_to_canonical(x, theta) bit-for-bit), and the
-        # second pass runs only the localization net — theta is all the
-        # cycle term consumes (reference train.py:347-351 runs a full
-        # encoder forward there; mu/logvar receive zero gradient).
-        rotated_recon, canonical, theta, mu, logvar, canonical_input = model.apply(
-            params, x, rngs={"sample": key}, method="train_forward"
+        return _rvae_paired_loss(
+            model, params, x, x_rot, angle, key, beta, gamma,
+            use_diversity, canonical_weight,
         )
-        theta_rot = model.apply(params, x_rot, method="predict_theta")
-        total, rl, kl, cyc = rvae_loss(
-            rotated_recon,
-            x,
-            mu,
-            logvar,
-            theta,
-            theta_rot,
-            angle,
-            beta=1.0,
-            gamma=1.0,
-            use_diversity=use_diversity,
-        )
-        total = rl + beta * kl + gamma * cyc
-        canon_l = jnp.mean((canonical - canonical_input) ** 2)
-        if canonical_weight > 0:
-            total = total + canonical_weight * canon_l
-        aux = dict(recon=rotated_recon, canonical=canonical, canonical_input=canonical_input,
-                   theta=theta, mu=mu, logvar=logvar, rl=rl, kl=kl, cyc=cyc, canon_l=canon_l)
-        return total, aux
 
     @jax.jit
     def step(state: TrainState, x, x_rot, angle, key, beta, gamma):
@@ -313,22 +320,12 @@ def make_fused_rvae_train_step(
     from ..data.pipeline import _extract_batch_paired_impl as extract_batch_paired
 
     def loss_fn(params, x, x_rot, angle, key, beta, gamma):
-        # Same two savings as make_rvae_train_step's loss_fn: canonical
-        # target reused from the STN resample; theta-only second pass.
-        rotated_recon, canonical, theta, mu, logvar, canonical_input = model.apply(
-            params, x, rngs={"sample": key}, method="train_forward"
+        total, aux = _rvae_paired_loss(
+            model, params, x, x_rot, angle, key, beta, gamma,
+            use_diversity, canonical_weight,
         )
-        theta_rot = model.apply(params, x_rot, method="predict_theta")
-        total, rl, kl, cyc = rvae_loss(
-            rotated_recon, x, mu, logvar, theta, theta_rot, angle,
-            beta=1.0, gamma=1.0, use_diversity=use_diversity,
-        )
-        total = rl + beta * kl + gamma * cyc
-        canon_l = jnp.mean((canonical - canonical_input) ** 2)
-        if canonical_weight > 0:
-            total = total + canonical_weight * canon_l
-        theta_std = jnp.std(theta, ddof=1)
-        return total, (rl, kl, cyc, canon_l, theta_std)
+        theta_std = jnp.std(aux["theta"], ddof=1)
+        return total, (aux["rl"], aux["kl"], aux["cyc"], aux["canon_l"], theta_std)
 
     metric_names = (
         "loss", "recon_loss", "kld_loss", "cycle_loss", "canonical_loss",
@@ -515,28 +512,20 @@ def _generic_eval_metrics(model, params, x, key, beta, gamma, use_diversity,
 def _rvae_eval_metrics(model, params, x, x_rot, angle, key, beta, gamma,
                        use_diversity, canonical_weight):
     """Paired eval metric body shared by the per-batch and fused rVAE eval."""
-    rotated_recon, canonical, theta, mu, logvar, canonical_input = model.apply(
-        params, x, rngs={"sample": key}, method="train_forward"
+    total, aux = _rvae_paired_loss(
+        model, params, x, x_rot, angle, key, beta, gamma,
+        use_diversity, canonical_weight,
     )
-    theta_rot = model.apply(params, x_rot, method="predict_theta")
-    total, rl, kl, cyc = rvae_loss(
-        rotated_recon, x, mu, logvar, theta, theta_rot, angle,
-        beta=1.0, gamma=1.0, use_diversity=use_diversity,
-    )
-    total = rl + beta * kl + gamma * cyc
-    canon_l = jnp.mean((canonical - canonical_input) ** 2)
-    if canonical_weight > 0:
-        total = total + canonical_weight * canon_l
     metrics = {
         "loss": total,
-        "recon_loss": rl,
-        "kld_loss": kl,
-        "cycle_loss": cyc,
-        "canonical_loss": canon_l,
-        "canonical_psnr": psnr(canonical, canonical_input),
-        "canonical_ssim": ssim(canonical, canonical_input),
+        "recon_loss": aux["rl"],
+        "kld_loss": aux["kl"],
+        "cycle_loss": aux["cyc"],
+        "canonical_loss": aux["canon_l"],
+        "canonical_psnr": psnr(aux["canonical"], aux["canonical_input"]),
+        "canonical_ssim": ssim(aux["canonical"], aux["canonical_input"]),
     }
-    metrics.update(_common_metrics(rotated_recon, x, mu, logvar, theta))
+    metrics.update(_common_metrics(aux["recon"], x, aux["mu"], aux["logvar"], aux["theta"]))
     return metrics
 
 
