@@ -293,6 +293,7 @@ def _extract_batch_paired_impl(
     cfg: AugmentConfig | None = AugmentConfig(),
     margin: int | None = None,
     normalize: bool = True,
+    rot_dtype: str | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Paired extraction: (patch, rotated_patch, angle_rad).
 
@@ -303,6 +304,14 @@ def _extract_batch_paired_impl(
     per-patch min-max — the ablation BASELINE.md's accuracy program runs,
     since per-patch normalization erases the absolute-intensity signal
     that separates vacancies).
+
+    rot_dtype: compute dtype for the rotated copy's shear passes +
+    normalize (None = float32). The rotated patch feeds ONLY the STN's
+    theta-localization pass, whose convs cast to the model's compute
+    dtype anyway — so bfloat16 here (the training default under the
+    mixed-precision policy) changes nothing downstream beyond the AMP
+    rounding the model already applies, while halving the HBM traffic
+    of the rotation's 3 shear passes over the 256-wide canvas.
     """
     P2 = patch_size + 2 * padding
     roi = P2 + 16
@@ -337,8 +346,11 @@ def _extract_batch_paired_impl(
     # (tests/test_data.py::test_paired_rotation_margin), while the smaller
     # pad keeps the shear canvas at 256 lanes for the production shapes
     # (192 -> 256 instead of 288: aligned to the TPU's 128-lane tiles).
+    rot_in = p_big[..., None]
+    if rot_dtype is not None:
+        rot_in = rot_in.astype(jnp.dtype(rot_dtype))
     rot_big = rotate_image_fast(
-        p_big[..., None], angle, padding_mode="zeros", margin=P2 // 6
+        rot_in, angle, padding_mode="zeros", margin=P2 // 6
     )[..., 0]
 
     patch = _center_crop_b(p_big, patch_size)
@@ -361,6 +373,6 @@ extract_batch = functools.partial(
 extract_batch_paired = functools.partial(
     jax.jit(
         _extract_batch_paired_impl,
-        static_argnames=("patch_size", "padding", "cfg", "margin", "normalize"),
+        static_argnames=("patch_size", "padding", "cfg", "margin", "normalize", "rot_dtype"),
     )
 )

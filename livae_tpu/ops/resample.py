@@ -345,6 +345,10 @@ def rotate_image_fast(
         # Sy: out[y, x] = in[y + beta*(x-c), x] — shift along H, const per col
         out = _fractional_shift(out, beta * cols, axis=1)
         out = _fractional_shift(out, alpha * rows, axis=2)
+        # the XLA path's f32 lerp weights promote low-precision inputs;
+        # restore the input dtype so both backends agree (the Pallas
+        # kernel's tile I/O already stays in the input dtype)
+        out = out.astype(img.dtype)
 
     return out[:, margin : margin + S, margin : margin + S, :]
 

@@ -340,9 +340,12 @@ def make_fused_rvae_train_step(
             k = jax.random.fold_in(key, i)
             ke, ks = jax.random.split(k)
             idx = idx_batches[i]
+            # the rotated copy feeds only the theta-localization pass, so
+            # its rotation runs in the model's compute dtype (AMP analog)
             x, x_rot, angle = extract_batch_paired(
                 frames_padded, img_idx[idx], coords[idx], ke,
                 patch_size, padding, cfg=cfg, margin=margin, normalize=normalize,
+                rot_dtype=getattr(model, "compute_dtype", None),
             )
             (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, x, x_rot, angle, ks, beta, gamma
@@ -626,6 +629,7 @@ def make_fused_rvae_eval(
             x, x_rot, angle = extract_batch_paired(
                 frames_padded, img_idx[idx], coords[idx], ke,
                 patch_size, padding, cfg=cfg, margin=margin, normalize=normalize,
+                rot_dtype=getattr(model, "compute_dtype", None),
             )
             return _rvae_eval_metrics(
                 model, params, x, x_rot, angle, ks, beta, gamma,

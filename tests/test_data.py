@@ -211,6 +211,38 @@ class TestRotationMargin:
             )
 
 
+class TestRotDtype:
+    """rot_dtype=bfloat16 paired extraction: x identical, x_rot close.
+
+    The rotated copy feeds only the theta-localization pass whose convs
+    cast to bf16 anyway; the unrotated patch must be untouched."""
+
+    def test_bf16_rot_copy(self):
+        from livae_tpu.data.pipeline import AugmentConfig, _extract_batch_paired_impl, pad_frames
+
+        rng = np.random.default_rng(0)
+        P, pad = 32, 8
+        roi = P + 2 * pad + 16
+        margin = roi // 2 + 8
+        frames = pad_frames(jnp.asarray(rng.random((1, 256, 256), dtype=np.float32)), margin)
+        ii = jnp.zeros((8,), jnp.int32)
+        cc = jnp.asarray(rng.uniform(roi // 2, 256 - roi // 2, (8, 2)).astype(np.float32))
+        k = jax.random.key(0)
+        x32, r32, a32 = _extract_batch_paired_impl(
+            frames, ii, cc, k, P, pad, cfg=AugmentConfig(), margin=margin
+        )
+        x16, r16, a16 = _extract_batch_paired_impl(
+            frames, ii, cc, k, P, pad, cfg=AugmentConfig(), margin=margin,
+            rot_dtype="bfloat16",
+        )
+        np.testing.assert_array_equal(np.asarray(x32), np.asarray(x16))
+        np.testing.assert_array_equal(np.asarray(a32), np.asarray(a16))
+        assert r16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(r16, dtype=np.float32), np.asarray(r32), atol=0.02
+        )
+
+
 class TestAugmentDistributions:
     def test_distributions_match_reference(self):
         from livae_tpu.data.pipeline import _sample_aug
