@@ -171,7 +171,11 @@ class AdaptiveLatticeDataset(_SiteDatasetBase):
     """Adaptive lattice sites (atoms + vacancies) with augmentation.
 
     Reference: src/livae/data.py:292-613. Defaults padding=48,
-    detection_threshold=0.6.
+    detection_threshold=0.6. `normalize=False` skips the reference's
+    per-patch min-max (src/livae/data.py:553-558) — the BASELINE.md
+    accuracy-program ablation showed that normalization collapses vacancy
+    clustering, so the no-norm recipe is first-class across the unpaired
+    (encode/eval) path too, keeping train and encode distributions matched.
     """
 
     def __init__(
@@ -182,9 +186,11 @@ class AdaptiveLatticeDataset(_SiteDatasetBase):
         transform: AugmentConfig | None = default_transform,
         detection_threshold: float = 0.6,
         device_peaks: bool = False,
+        normalize: bool = True,
     ):
         self.detection_threshold = detection_threshold
         self.device_peaks = device_peaks
+        self._NORMALIZE = bool(normalize)
         super().__init__(images, patch_size, padding, transform)
 
     def _build_sites(self):
@@ -212,12 +218,9 @@ class PairedAdaptiveLatticeDataset(AdaptiveLatticeDataset):
     """(patch, rotated_patch, angle_rad) triplets for STN cycle training.
 
     Reference: src/livae/data.py:616-735. `normalize=False` skips the
-    per-patch min-max (BASELINE.md accuracy-program ablation).
+    per-patch min-max (BASELINE.md accuracy-program ablation); the kwarg
+    is inherited from AdaptiveLatticeDataset.
     """
-
-    def __init__(self, *args, normalize: bool = True, **kwargs):
-        self._NORMALIZE = normalize
-        super().__init__(*args, **kwargs)
 
     def sample_batch(self, key: jax.Array, batch_size: int):
         kidx, kaug = jax.random.split(key)

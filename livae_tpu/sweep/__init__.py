@@ -1,7 +1,9 @@
 from .search import (
     ASHAScheduler,
     PBTScheduler,
+    RandomSearcher,
     StopTrial,
+    TPESearcher,
     Trial,
     choice,
     get_best_result,

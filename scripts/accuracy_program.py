@@ -134,7 +134,8 @@ def rot90_cosine(model, params, x):
     return float(np.mean(num / den))
 
 
-def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache):
+def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache,
+               seed=None):
     import jax
     import jax.numpy as jnp
 
@@ -152,7 +153,7 @@ def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache)
         latent_dim=args.latent_dim, patch_size=args.patch_size,
         compute_dtype="bfloat16",
     )
-    key = jax.random.key(args.seed)
+    key = jax.random.key(args.seed if seed is None else seed)
     key, ik, sk = jax.random.split(key, 3)
     params = model.init(
         {"params": ik, "sample": sk},
@@ -227,6 +228,7 @@ def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache)
     metrics["rot90_mu_cosine"] = rot90_cosine(model, state.params, probe)
     metrics.update(
         config=dict(cfg, beta_annealing=args.beta_annealing, epochs=args.epochs),
+        seed=int(args.seed if seed is None else seed),
         train_loss=train_loss,
         train_seconds=round(train_time, 1),
         eval_sites=int(msk.sum()),
@@ -234,6 +236,30 @@ def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache)
         train_kld=float(tm.get("kld_loss", np.nan)),
     )
     return metrics
+
+
+_SUMMARY_KEYS = (
+    "kmeans_ari", "linear_accuracy", "vacancy_auc", "kld_mean", "rot90_mu_cosine"
+)
+
+
+def summarize_seeds(results) -> list[dict]:
+    """mean ± std per (beta, normalize) config across seeds (error bars for
+    the BASELINE.md headline claims; VERDICT r2 weak 6)."""
+    groups: dict[tuple, list[dict]] = {}
+    for r in results:
+        k = (r["config"]["beta"], r["config"]["normalize"])
+        groups.setdefault(k, []).append(r)
+    rows = []
+    for (beta, normalize), rs in groups.items():
+        row = {"beta": beta, "normalize": normalize, "n_seeds": len(rs),
+               "seeds": [r["seed"] for r in rs]}
+        for key in _SUMMARY_KEYS:
+            vals = np.asarray([r[key] for r in rs], dtype=float)
+            row[f"{key}_mean"] = float(np.nanmean(vals))
+            row[f"{key}_std"] = float(np.nanstd(vals))
+        rows.append(row)
+    return rows
 
 
 def main(args):
@@ -285,18 +311,43 @@ def main(args):
 
     results = []
     step_cache: dict = {}
+    total = len(configs) * args.seeds
     for i, cfg in enumerate(configs):
-        print(f"[{i + 1}/{len(configs)}] {cfg} ...", flush=True)
-        m = run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache)
-        print(
-            f"  ARI {m['kmeans_ari']:.3f} | lin-acc {m['linear_accuracy']:.3f} | "
-            f"vac-AUC {m['vacancy_auc']:.3f} | kld {m['kld_mean']:.3f} | "
-            f"rot90-cos {m['rot90_mu_cosine']:.3f} | {m['train_seconds']}s",
-            flush=True,
-        )
-        results.append(m)
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
+        for s in range(args.seeds):
+            seed = args.seed + 1000 * s
+            print(
+                f"[{i * args.seeds + s + 1}/{total}] {cfg} seed={seed} ...",
+                flush=True,
+            )
+            m = run_config(
+                cfg, train_ds, eval_ds, eval_labels, eval_mask, args,
+                step_cache, seed=seed,
+            )
+            print(
+                f"  ARI {m['kmeans_ari']:.3f} | lin-acc {m['linear_accuracy']:.3f} | "
+                f"vac-AUC {m['vacancy_auc']:.3f} | kld {m['kld_mean']:.3f} | "
+                f"rot90-cos {m['rot90_mu_cosine']:.3f} | {m['train_seconds']}s",
+                flush=True,
+            )
+            results.append(m)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+    if args.seeds > 1:
+        summary = summarize_seeds(results)
+        spath = args.out + ".summary.json"
+        with open(spath, "w") as f:
+            json.dump(summary, f, indent=2)
+        print("\nmean ± std across seeds:")
+        for row in summary:
+            print(
+                f"  beta {row['beta']:<5} norm {str(row['normalize']):<5} "
+                f"({row['n_seeds']} seeds): "
+                + " | ".join(
+                    f"{k.split('_mean')[0]} {row[k]:.3f}±{row[k.replace('_mean', '_std')]:.3f}"
+                    for k in row if k.endswith("_mean")
+                )
+            )
+        print(f"Summary written to {spath}")
     print(f"Results written to {args.out}")
     return results
 
@@ -326,6 +377,11 @@ def build_argparser():
     p.add_argument("--no-norm-ablation", dest="norm_ablation", action="store_false")
     p.add_argument("--out", type=str, default="accuracy_results.json")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--seeds", type=int, default=1,
+        help="Seeds per config; >1 also writes <out>.summary.json with "
+        "mean±std across seeds",
+    )
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--quick", action="store_true", help="tiny smoke run")
     return p

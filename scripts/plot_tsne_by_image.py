@@ -17,7 +17,12 @@ import numpy as np
 from _common import add_data_flags, resolve_images
 
 from livae_tpu.data.datasets import AdaptiveLatticeDataset
-from visualizations import collect_stats, embed_latents, load_model_from_checkpoint
+from visualizations import (
+    checkpoint_normalize,
+    collect_stats,
+    embed_latents,
+    load_model_from_checkpoint,
+)
 
 
 def main():
@@ -31,14 +36,15 @@ def main():
     )
     args = parser.parse_args()
 
-    model, params, is_rvae, latent_dim, patch_size, _ = load_model_from_checkpoint(
+    model, params, is_rvae, latent_dim, patch_size, payload = load_model_from_checkpoint(
         args.checkpoint, "rvae"
     )
     print(f"Loaded rVAE (latent {latent_dim}, patch {patch_size})")
 
     images = resolve_images(args)
     dataset = AdaptiveLatticeDataset(
-        images, patch_size=patch_size, padding=args.padding, transform=None
+        images, patch_size=patch_size, padding=args.padding, transform=None,
+        normalize=checkpoint_normalize(payload),
     )
     mu, logvar, rec_err, idx_map = collect_stats(
         model, params, dataset, args.batch_size, is_rvae=True

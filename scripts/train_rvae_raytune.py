@@ -16,15 +16,25 @@ whole-epoch step (extraction + all optimizer steps in one dispatch) so a
 sweep is not dominated by per-batch dispatch latency, and `grad_max_norm`
 is honored (the reference passes it to a function that doesn't accept it
 and would TypeError; fixed here, SURVEY.md §7). --max-concurrent trials
-run in flight at once (thread executor by default — the one-chip analog
-of the reference's fractional-GPU packing); PBT exploits adopt the donor
-checkpoint's weights mid-run.
+run in flight at once; PBT exploits adopt the donor checkpoint's weights
+mid-run. Two concurrent executors:
+
+* thread (default): worker threads share the local chip — the one-chip
+  analog of fractional-GPU packing; dataset and compiled steps are
+  shared across trials.
+* process (--executor process): one spawned process per trial with
+  per-slot chip pinning via `default_trial_env` (TPU_VISIBLE_DEVICES et
+  al.) — on a multi-chip host each slot trains on its own chip, the
+  direct tune.with_resources analog (reference
+  train_rvae_raytune.py:374-395).
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import json
+import os
 import threading
 from pathlib import Path
 
@@ -58,162 +68,249 @@ from livae_tpu.utils.checkpoint import (
 )
 
 
+def _set_hyperparams(state, lr, weight_decay):
+    hp = dict(state.opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    hp["weight_decay"] = jnp.asarray(weight_decay, jnp.float32)
+    return state.replace(opt_state=state.opt_state._replace(hyperparams=hp))
+
+
+def _build_compiled(dataset, patch_size, padding, latent_dim, grad_max_norm,
+                    normalize):
+    """Model + optimizer + fused step/eval for one architecture key.
+
+    lr/weight_decay are optax injected hyperparameters (traced values in
+    opt_state), so trials with different lr share ONE compile and PBT
+    exploits don't recompile either.
+    """
+    import optax
+
+    model = RVAE(
+        latent_dim=latent_dim, patch_size=patch_size, compute_dtype="bfloat16",
+    )
+    tx = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=1e-3, weight_decay=1e-5
+    )
+    step = make_fused_vae_train_step(
+        model, tx, patch_size=patch_size, padding=padding,
+        cfg=dataset.transform, margin=dataset._margin,
+        grad_max_norm=grad_max_norm, normalize=normalize,
+    )
+    fused_eval = make_fused_eval(
+        model, patch_size=patch_size, padding=padding,
+        margin=dataset._margin, normalize=normalize,
+    )
+    return model, tx, step, fused_eval
+
+
+def _trial_body(config, report, dataset, compiled, ckpt_path, trial_seed,
+                extra_metrics=None):
+    """One trial's training loop (shared by the thread and process paths).
+
+    Trains RVAE with the mean-reduced VAE loss — the reference's trial
+    function (reference train_rvae_raytune.py:140-161) — via the fused
+    whole-epoch step. lr follows the reference trial's per-epoch
+    CosineAnnealingLR.step() semantics (constant within an epoch).
+    """
+    import math
+
+    model, tx, step, fused_eval = compiled
+    train_idx, val_idx = split_indices(len(dataset), config["val_split"], seed=0)
+    if len(train_idx) == 0:
+        raise ValueError(
+            f"empty train split ({len(dataset)} sites total); use larger "
+            "frames or a smaller --val-split"
+        )
+    batch_size = min(int(config["batch_size"]), len(train_idx))
+    patch_size = int(config["patch_size"])
+    latent_dim = int(config["latent_dim"])
+    spec = rvae_spec(patch_size, latent_dim)
+    epochs = int(config["epochs"])
+
+    key = jax.random.key(trial_seed)
+    key, ik, sk = jax.random.split(key, 3)
+    params = model.init(
+        {"params": ik, "sample": sk},
+        jnp.zeros((1, patch_size, patch_size, 1)),
+    )
+    state = TrainState.create(params, tx)
+    frames_padded, img_idx_dev, coords_dev, _ = dataset.device_site_table
+
+    for epoch in range(epochs):
+        beta = config["beta"]
+        if config.get("beta_annealing"):
+            beta *= min(1.0, (epoch + 1) / max(config["beta_annealing_epochs"], 1))
+        lr_e = 0.5 * config["lr"] * (1.0 + math.cos(math.pi * epoch / max(epochs, 1)))
+        state = _set_hyperparams(state, lr_e, config["weight_decay"])
+        key, ek, vk = jax.random.split(key, 3)
+
+        kperm, kstep = jax.random.split(ek)
+        perm = jax.random.permutation(kperm, len(train_idx))
+        steps = max(1, len(train_idx) // batch_size)
+        idx_batches = jnp.asarray(train_idx)[
+            perm[: steps * batch_size]
+        ].reshape(steps, -1)
+        state, tm = step(
+            state, frames_padded, img_idx_dev, coords_dev,
+            idx_batches, kstep, beta, 0.0,
+        )
+        vm = evaluate_fused(
+            fused_eval, fused_eval, state.params, dataset.device_site_table,
+            val_idx, min(batch_size, len(val_idx)), vk, beta=beta,
+        )
+        val_loss = vm.get("val_loss", float("inf"))
+
+        save_reference_checkpoint(
+            ckpt_path, state.params, spec,
+            epoch=epoch, best_val=val_loss,
+            args={k: v for k, v in config.items() if not isinstance(v, (list, dict))},
+        )
+        out = report(
+            epoch=epoch + 1,
+            loss=val_loss,
+            val_loss=val_loss,
+            train_loss=float(metrics_to_host(tm)["loss"]),
+            val_psnr=vm.get("val_psnr", 0.0),
+            checkpoint=ckpt_path,
+            **(extra_metrics or {}),
+        )
+        if isinstance(out, dict):
+            # PBT exploit: adopt the donor's mutated scalars for the
+            # remaining epochs and, when the architecture matches,
+            # restart from the donor checkpoint's weights (Ray PBT's
+            # restore semantics). No recompile: lr/wd are injected.
+            new_cfg = out["config"]
+            config.update(
+                {k: v for k, v in new_cfg.items() if k in ("lr", "beta")}
+            )
+            donor_ckpt = out.get("checkpoint")
+            same_arch = (
+                int(new_cfg.get("latent_dim", latent_dim)) == latent_dim
+                and int(new_cfg.get("patch_size", patch_size)) == patch_size
+            )
+            if donor_ckpt and same_arch and Path(str(donor_ckpt)).exists():
+                donor = load_checkpoint(str(donor_ckpt))
+                params = torch_state_to_params(donor["model_state"], spec)
+                state = TrainState.create(params, tx)
+
+
 def make_trainable(args, images):
-    """Build the per-trial training function (closure over the data).
+    """Build the per-trial training function for the thread executor.
 
     The dataset is built once and shared across trials (the reference
     rebuilt it per trial, train_rvae_raytune.py:128-137 — pure waste);
-    the cache is lock-protected for concurrent executors.
+    the cache is lock-protected for concurrent executors. Jitted
+    step/eval are cached across trials by their STATIC shape key.
     """
     dataset_cache: dict[tuple, AdaptiveLatticeDataset] = {}
     cache_lock = threading.Lock()
 
-    def get_dataset(patch_size, padding):
-        key = (patch_size, padding)
+    def get_dataset(patch_size, padding, normalize):
+        key = (patch_size, padding, normalize)
         with cache_lock:
             if key not in dataset_cache:
                 dataset_cache[key] = AdaptiveLatticeDataset(
                     images, patch_size=patch_size, padding=padding,
-                    transform=default_transform,
+                    transform=default_transform, normalize=normalize,
                 )
             return dataset_cache[key]
 
     ckpt_dir = Path(args.ray_results_dir) / args.experiment_name / "checkpoints"
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     trial_counter = [0]
-
-    # Jitted step/eval are cached across trials by their STATIC shape key;
-    # lr/weight_decay are optax injected hyperparameters (traced values in
-    # opt_state), so 50 trials with different lr share ONE compile and PBT
-    # exploits don't recompile either. lr follows the reference trial's
-    # per-epoch CosineAnnealingLR.step() semantics (constant within epoch).
     step_cache: dict[tuple, tuple] = {}
 
-    def get_compiled(patch_size, padding, latent_dim, batch_size, grad_max_norm,
+    def get_compiled(patch_size, padding, latent_dim, grad_max_norm, normalize,
                      dataset):
-        import optax
-
-        key = (patch_size, padding, latent_dim, batch_size, grad_max_norm)
+        key = (patch_size, padding, latent_dim, grad_max_norm, normalize)
         with cache_lock:
             if key not in step_cache:
-                model = RVAE(
-                    latent_dim=latent_dim, patch_size=patch_size,
-                    compute_dtype="bfloat16",
+                step_cache[key] = _build_compiled(
+                    dataset, patch_size, padding, latent_dim, grad_max_norm,
+                    normalize,
                 )
-                tx = optax.inject_hyperparams(optax.adamw)(
-                    learning_rate=1e-3, weight_decay=1e-5
-                )
-                step = make_fused_vae_train_step(
-                    model, tx, patch_size=patch_size, padding=padding,
-                    cfg=dataset.transform, margin=dataset._margin,
-                    grad_max_norm=grad_max_norm,
-                )
-                fused_eval = make_fused_eval(
-                    model, patch_size=patch_size, padding=padding,
-                    margin=dataset._margin,
-                )
-                step_cache[key] = (model, tx, step, fused_eval)
             return step_cache[key]
 
-    def set_hyperparams(state, lr, weight_decay):
-        hp = dict(state.opt_state.hyperparams)
-        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
-        hp["weight_decay"] = jnp.asarray(weight_decay, jnp.float32)
-        return state.replace(opt_state=state.opt_state._replace(hyperparams=hp))
-
     def train_rvae_tune(config, report):
-        import math
-
         with cache_lock:
             trial_id = trial_counter[0]
             trial_counter[0] += 1
 
-        dataset = get_dataset(config["patch_size"], config["padding"])
-        train_idx, val_idx = split_indices(len(dataset), config["val_split"], seed=0)
-        if len(train_idx) == 0:
-            raise ValueError(
-                f"empty train split ({len(dataset)} sites total); use larger "
-                "frames or a smaller --val-split"
-            )
-        batch_size = min(int(config["batch_size"]), len(train_idx))
-        patch_size = int(config["patch_size"])
-        latent_dim = int(config["latent_dim"])
-        spec = rvae_spec(patch_size, latent_dim)
-        epochs = int(config["epochs"])
-        grad_max_norm = float(config.get("grad_max_norm") or 20.0)
-
-        model, tx, step, fused_eval = get_compiled(
-            patch_size, int(config["padding"]), latent_dim, batch_size,
-            grad_max_norm, dataset,
+        normalize = bool(config.get("normalize", True))
+        dataset = get_dataset(config["patch_size"], config["padding"], normalize)
+        compiled = get_compiled(
+            int(config["patch_size"]), int(config["padding"]),
+            int(config["latent_dim"]),
+            float(config.get("grad_max_norm") or 20.0), normalize, dataset,
         )
-        key = jax.random.key(trial_id)
-        key, ik, sk = jax.random.split(key, 3)
-        params = model.init(
-            {"params": ik, "sample": sk},
-            jnp.zeros((1, patch_size, patch_size, 1)),
-        )
-        state = TrainState.create(params, tx)
-        frames_padded, img_idx_dev, coords_dev, _ = dataset.device_site_table
-
-        for epoch in range(epochs):
-            beta = config["beta"]
-            if config.get("beta_annealing"):
-                beta *= min(1.0, (epoch + 1) / max(config["beta_annealing_epochs"], 1))
-            # per-epoch cosine lr (reference: CosineAnnealingLR.step() per epoch)
-            lr_e = 0.5 * config["lr"] * (1.0 + math.cos(math.pi * epoch / max(epochs, 1)))
-            state = set_hyperparams(state, lr_e, config["weight_decay"])
-            key, ek, vk = jax.random.split(key, 3)
-
-            kperm, kstep = jax.random.split(ek)
-            perm = jax.random.permutation(kperm, len(train_idx))
-            steps = max(1, len(train_idx) // batch_size)
-            idx_batches = jnp.asarray(train_idx)[
-                perm[: steps * batch_size]
-            ].reshape(steps, -1)
-            state, tm = step(
-                state, frames_padded, img_idx_dev, coords_dev,
-                idx_batches, kstep, beta, 0.0,
-            )
-            vm = evaluate_fused(
-                fused_eval, fused_eval, state.params, dataset.device_site_table,
-                val_idx, min(batch_size, len(val_idx)), vk, beta=beta,
-            )
-            val_loss = vm.get("val_loss", float("inf"))
-
-            ckpt_path = str(ckpt_dir / f"trial_{trial_id}.pt")
-            save_reference_checkpoint(
-                ckpt_path, state.params, spec,
-                epoch=epoch, best_val=val_loss,
-                args={k: v for k, v in config.items() if not isinstance(v, (list, dict))},
-            )
-            out = report(
-                epoch=epoch + 1,
-                loss=val_loss,
-                val_loss=val_loss,
-                train_loss=float(metrics_to_host(tm)["loss"]),
-                val_psnr=vm.get("val_psnr", 0.0),
-                checkpoint=ckpt_path,
-            )
-            if isinstance(out, dict):
-                # PBT exploit: adopt the donor's mutated scalars for the
-                # remaining epochs and, when the architecture matches,
-                # restart from the donor checkpoint's weights (Ray PBT's
-                # restore semantics). No recompile: lr/wd are injected.
-                new_cfg = out["config"]
-                config.update(
-                    {k: v for k, v in new_cfg.items() if k in ("lr", "beta")}
-                )
-                donor_ckpt = out.get("checkpoint")
-                same_arch = (
-                    int(new_cfg.get("latent_dim", latent_dim)) == latent_dim
-                    and int(new_cfg.get("patch_size", patch_size)) == patch_size
-                )
-                if donor_ckpt and same_arch and Path(str(donor_ckpt)).exists():
-                    donor = load_checkpoint(str(donor_ckpt))
-                    params = torch_state_to_params(donor["model_state"], spec)
-                    state = TrainState.create(params, tx)
+        ckpt_path = str(ckpt_dir / f"trial_{trial_id}.pt")
+        _trial_body(config, report, dataset, compiled, ckpt_path,
+                    trial_seed=trial_id)
 
     return train_rvae_tune
+
+
+def process_trainable(data_spec, config, report):
+    """Module-level (picklable) trial for the spawn-based process executor.
+
+    Runs in a fresh worker process with its slot's env applied by
+    `default_trial_env` before JAX initializes, so on a multi-chip host
+    each trial sees exactly one TPU chip — the tune.with_resources
+    fractional-resource packing analog (reference
+    train_rvae_raytune.py:374-395). Data and compiled steps are rebuilt
+    in-process (as the reference's Ray workers do,
+    train_rvae_raytune.py:128-137).
+    """
+    force = os.environ.get("LIVAE_FORCE_PLATFORM")
+    if force:
+        # The env var alone can be consulted before user code runs only in
+        # interpreters that honor it; the config API always works.
+        jax.config.update("jax_platforms", force)
+
+    ns = argparse.Namespace(**{
+        k: data_spec.get(k) for k in ("synthetic", "synthetic_size", "data", "dataset_name")
+    })
+    images = resolve_images(ns)
+    normalize = bool(config.get("normalize", True))
+    dataset = AdaptiveLatticeDataset(
+        images, patch_size=config["patch_size"], padding=config["padding"],
+        transform=default_transform, normalize=normalize,
+    )
+    compiled = _build_compiled(
+        dataset, int(config["patch_size"]), int(config["padding"]),
+        int(config["latent_dim"]), float(config.get("grad_max_norm") or 20.0),
+        normalize,
+    )
+    ckpt_dir = Path(data_spec["ckpt_dir"])
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    ckpt_path = str(ckpt_dir / f"trial_pid{os.getpid()}.pt")
+    _trial_body(
+        config, report, dataset, compiled, ckpt_path, trial_seed=os.getpid(),
+        extra_metrics={
+            "slot": os.environ.get("LIVAE_SWEEP_SLOT", ""),
+            "pid": os.getpid(),
+        },
+    )
+
+
+def default_trial_env(slot: int, force_platform: str | None = None) -> dict:
+    """Per-slot device pinning env (the tune.with_resources analog).
+
+    On a multi-chip TPU host each sweep slot claims one chip via the TPU
+    runtime's visibility variables, so concurrent process trials train on
+    disjoint chips. `force_platform` pins the XLA backend instead (CPU
+    smoke tests); process_trainable applies it through the config API.
+    """
+    env = {"LIVAE_SWEEP_SLOT": str(slot)}
+    if force_platform:
+        env["LIVAE_FORCE_PLATFORM"] = force_platform
+    else:
+        env.update({
+            "TPU_VISIBLE_DEVICES": str(slot),
+            "TPU_PROCESS_BOUNDS": "1,1,1",
+            "TPU_CHIPS_PER_PROCESS_BOUNDS": "1,1,1",
+        })
+    return env
 
 
 def run_hyperparameter_search(args) -> None:
@@ -224,14 +321,18 @@ def run_hyperparameter_search(args) -> None:
     except ImportError:
         pass
 
-    images = resolve_images(args)
-
     param_space = {
         "lr": loguniform(args.lr_min, args.lr_max),
         "latent_dim": choice(args.latent_dims),
         "beta": loguniform(args.beta_min, args.beta_max),
         "weight_decay": loguniform(args.weight_decay_min, args.weight_decay_max),
         "batch_size": choice(args.batch_sizes),
+        # per-patch min-max normalization: searchable with --search-norm
+        # (the BASELINE.md vacancy ablation's decisive axis), else fixed
+        "normalize": (
+            choice([True, False]) if args.search_norm
+            else not args.no_per_patch_norm
+        ),
         # fixed parameters
         "patch_size": args.patch_size,
         "padding": args.padding,
@@ -263,8 +364,27 @@ def run_hyperparameter_search(args) -> None:
         scheduler = None
 
     results_dir = Path(args.ray_results_dir) / args.experiment_name
+    executor = None if args.executor in (None, "auto") else args.executor
+    trial_env = None
+    if executor == "process":
+        # Module-level picklable trainable + per-slot chip pinning; the
+        # children rebuild data from this spec (nothing unpicklable).
+        data_spec = {
+            "synthetic": getattr(args, "synthetic", 0),
+            "synthetic_size": getattr(args, "synthetic_size", 1024),
+            "data": args.data,
+            "dataset_name": getattr(args, "dataset_name", None),
+            "ckpt_dir": str(results_dir / "checkpoints"),
+        }
+        trainable = functools.partial(process_trainable, data_spec)
+        trial_env = functools.partial(
+            default_trial_env,
+            force_platform="cpu" if getattr(args, "cpu", False) else None,
+        )
+    else:
+        trainable = make_trainable(args, resolve_images(args))
     trials = run_search(
-        make_trainable(args, images),
+        trainable,
         param_space,
         num_samples=args.num_samples,
         scheduler=scheduler,
@@ -274,7 +394,8 @@ def run_hyperparameter_search(args) -> None:
         seed=args.seed,
         search_alg=args.search_alg,
         max_concurrent=args.max_concurrent,
-        executor=None if args.executor in (None, "auto") else args.executor,
+        executor=executor,
+        trial_env=trial_env,
     )
 
     best = get_best_result(trials, metric="loss", mode="min")
@@ -309,12 +430,24 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--val-split", type=float, default=0.1)
     parser.add_argument("--lr-min", type=float, default=1e-5)
     parser.add_argument("--lr-max", type=float, default=2e-3)
-    parser.add_argument("--latent-dims", type=int, nargs="+", default=[8, 16, 32])
+    # search-space defaults match the reference (train_rvae_raytune.py:498,529)
+    parser.add_argument("--latent-dims", type=int, nargs="+", default=[8, 16, 32, 64])
     parser.add_argument("--beta-min", type=float, default=0.1)
     parser.add_argument("--beta-max", type=float, default=2.0)
     parser.add_argument("--weight-decay-min", type=float, default=1e-6)
     parser.add_argument("--weight-decay-max", type=float, default=1e-3)
-    parser.add_argument("--batch-sizes", type=int, nargs="+", default=[256, 512])
+    parser.add_argument("--batch-sizes", type=int, nargs="+", default=[512])
+    parser.add_argument(
+        "--no-per-patch-norm",
+        action="store_true",
+        help="Train all trials without the per-patch min-max normalization "
+        "(BASELINE.md vacancy recipe)",
+    )
+    parser.add_argument(
+        "--search-norm",
+        action="store_true",
+        help="Make per-patch normalization a searchable choice([True, False])",
+    )
     parser.add_argument("--epochs", type=int, default=310)
     parser.add_argument("--beta-annealing", action="store_true")
     parser.add_argument("--beta-annealing-epochs", type=int, default=10)
@@ -331,14 +464,16 @@ def build_argparser() -> argparse.ArgumentParser:
         choices=["auto", "sequential", "thread", "process"],
         default=None,
         help="Trial executor: thread (default when --max-concurrent > 1) "
-        "shares the chip; process pins per-slot device env (module-level "
-        "trainables only)",
+        "shares the chip; process spawns one worker per trial with "
+        "per-slot chip pinning (multi-chip hosts)",
     )
     parser.add_argument("--cpus-per-trial", type=int, default=8, help=argparse.SUPPRESS)
     parser.add_argument("--gpus-per-trial", type=float, default=0.25, help=argparse.SUPPRESS)
     parser.add_argument("--scheduler", choices=["asha", "pbt", "none"], default="asha")
+    # default matches the reference's HyperOptSearch (ref :594); "hyperopt"
+    # resolves to the native TPE implementation (livae_tpu.sweep)
     parser.add_argument(
-        "--search-alg", choices=["hyperopt", "tpe", "random"], default="random"
+        "--search-alg", choices=["hyperopt", "tpe", "random"], default="hyperopt"
     )
     parser.add_argument("--grace-period", type=int, default=30)
     parser.add_argument("--reduction-factor", type=int, default=3)

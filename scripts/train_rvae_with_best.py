@@ -47,6 +47,12 @@ def main():
     for k in ("latent_dim", "batch_size"):
         if k in best:
             setattr(args, k, int(best[k]))
+    if "normalize" in best:
+        # sweep trials carry per-patch-norm as `normalize`; train_rvae
+        # expresses it as --no-per-patch-norm (persisted in ckpt args)
+        args.no_per_patch_norm = not bool(best["normalize"])
+        if args.no_per_patch_norm:
+            print("  per-patch norm: off (from best config)")
     if known.override_epochs is not None:
         args.epochs = known.override_epochs
     elif "epochs" in best:

@@ -39,12 +39,14 @@ from livae_tpu.utils.checkpoint import save_reference_checkpoint, vae_spec
 def run_training(args) -> dict:
     images = resolve_images(args)
 
+    normalize = not getattr(args, "no_per_patch_norm", False)
     print("Building adaptive-lattice dataset...")
     dataset = AdaptiveLatticeDataset(
         images,
         patch_size=args.patch_size,
         padding=args.padding,
         transform=default_transform,
+        normalize=normalize,
     )
     n = len(dataset)
     train_idx, val_idx = split_indices(n, args.val_split, seed=args.seed)
@@ -56,8 +58,10 @@ def run_training(args) -> dict:
         patch_size=args.patch_size,
         compute_dtype=compute_dtype,
     )
-    key = jax.random.key(args.seed)
-    key, init_key, sample_key = jax.random.split(key, 3)
+    # history-free key streams (same scheme as train_rvae.py)
+    root = jax.random.key(args.seed)
+    init_stream, train_stream, vis_stream = jax.random.split(root, 3)
+    init_key, sample_key = jax.random.split(init_stream)
     params = model.init(
         {"params": init_key, "sample": sample_key},
         jnp.zeros((1, args.patch_size, args.patch_size, 1)),
@@ -90,11 +94,12 @@ def run_training(args) -> dict:
         model, tx,
         patch_size=args.patch_size, padding=args.padding,
         cfg=dataset.transform, margin=dataset._margin, grad_max_norm=5.0,
-        mesh=mesh,
+        normalize=normalize, mesh=mesh,
     )
     frames_padded, img_idx_dev, coords_dev, _ = dataset.device_site_table
     eval_kwargs = dict(
-        patch_size=args.patch_size, padding=args.padding, margin=dataset._margin
+        patch_size=args.patch_size, padding=args.padding, margin=dataset._margin,
+        normalize=normalize,
     )
     fused_eval = make_fused_eval(model, mesh=mesh, **eval_kwargs)
     tail_eval = fused_eval if mesh is None else make_fused_eval(model, **eval_kwargs)
@@ -117,7 +122,7 @@ def run_training(args) -> dict:
             beta = args.beta * min(1.0, (epoch + 1) / max(args.beta_annealing_epochs, 1))
         else:
             beta = args.beta
-        key, ek, vk, bk = jax.random.split(key, 4)
+        ek, vk = jax.random.split(jax.random.fold_in(train_stream, epoch))
 
         logger = MetricLogger()
         t0 = time.time()
@@ -156,7 +161,7 @@ def run_training(args) -> dict:
             log_scalar_metrics_tensorboard(writer, metrics, epoch)
             writer.add_scalar("train/beta", beta, epoch)
             if (epoch + 1) % args.vis_every == 0:
-                key, pk, wk = jax.random.split(key, 3)
+                _, wk = jax.random.split(jax.random.fold_in(vis_stream, epoch))
                 x = dataset.batch_at(val_idx[: args.vis_samples])
                 recon, _, _ = _vis_forward(model)(state.params, x, wk)
                 log_reconstructions_tensorboard(writer, x, recon, epoch)
@@ -203,6 +208,13 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--beta", type=float, default=1.0)
     parser.add_argument("--beta-annealing", action="store_true")
     parser.add_argument("--beta-annealing-epochs", type=int, default=10)
+    parser.add_argument(
+        "--no-per-patch-norm",
+        action="store_true",
+        help="Skip the per-patch min-max normalization (reference "
+        "data.py:553-558); persisted in checkpoint args for the analysis "
+        "scripts",
+    )
     parser.add_argument(
         "--num-devices",
         type=str,

@@ -25,7 +25,7 @@ from _common import add_data_flags, resolve_images
 
 from livae_tpu.data.datasets import AdaptiveLatticeDataset
 from livae_tpu.ops.resample import rotate_image_fast
-from visualizations import load_model_from_checkpoint
+from visualizations import checkpoint_normalize, load_model_from_checkpoint
 
 
 def check_invariance(model, params, patch: jax.Array) -> dict:
@@ -88,7 +88,8 @@ def main():
             ckpt_path, "rvae"
         )
         dataset = AdaptiveLatticeDataset(
-            images, patch_size=patch_size, padding=args.padding, transform=None
+            images, patch_size=patch_size, padding=args.padding, transform=None,
+            normalize=checkpoint_normalize(payload),
         )
         idx = np.linspace(0, len(dataset) - 1, args.n_patches).astype(int)
         patch = dataset.batch_at(idx)

@@ -70,6 +70,16 @@ def load_model_from_checkpoint(ckpt_path: str, force_type: str | None = None):
     return model, params, is_rvae, latent_dim, patch_size, payload
 
 
+def checkpoint_normalize(payload) -> bool:
+    """Per-patch-norm semantics the checkpoint was trained with.
+
+    train_rvae/train_vae persist --no-per-patch-norm in the saved args;
+    encoding with mismatched normalization is a train/eval distribution
+    mismatch, so every analysis script builds its dataset through this.
+    """
+    return not payload.get("args", {}).get("no_per_patch_norm", False)
+
+
 def collect_stats(model, params, dataset, batch_size: int, is_rvae: bool):
     """Batched encode of every site: (mu, logvar, rec_err, idx_map).
 
@@ -276,14 +286,19 @@ def main():
     args = parser.parse_args()
 
     force = "rvae" if args.rvae else ("vae" if args.vae else None)
-    model, params, is_rvae, latent_dim, patch_size, _ = load_model_from_checkpoint(
+    model, params, is_rvae, latent_dim, patch_size, payload = load_model_from_checkpoint(
         args.checkpoint, force
     )
-    print(f"Loaded {'rVAE' if is_rvae else 'VAE'} (latent {latent_dim}, patch {patch_size})")
+    normalize = checkpoint_normalize(payload)
+    print(
+        f"Loaded {'rVAE' if is_rvae else 'VAE'} (latent {latent_dim}, "
+        f"patch {patch_size}, per-patch norm {'on' if normalize else 'off'})"
+    )
 
     images = resolve_images(args)
     dataset = AdaptiveLatticeDataset(
-        images, patch_size=patch_size, padding=args.padding, transform=None
+        images, patch_size=patch_size, padding=args.padding, transform=None,
+        normalize=normalize,
     )
 
     print("Extracting latent vectors...")

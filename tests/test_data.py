@@ -132,6 +132,24 @@ class TestDatasets:
         assert len(batches) == n // 8
         assert all(b.shape == (8, 64, 64, 1) for b in batches)
 
+    def test_unpaired_no_norm(self, frames, adaptive_ds):
+        """normalize=False skips the per-patch min-max on the unpaired path.
+
+        The no-norm training recipe (BASELINE.md accuracy program) must be
+        expressible on AdaptiveLatticeDataset too, so the analysis scripts
+        encode with the same distribution the model trained on.
+        """
+        ds_raw = AdaptiveLatticeDataset(
+            frames, patch_size=64, padding=16, normalize=False
+        )
+        idx = np.arange(8)
+        raw = np.asarray(ds_raw.batch_at(idx))
+        norm = np.asarray(adaptive_ds.batch_at(idx))
+        # normalized patches are exactly min0/max1 per patch; raw ones keep
+        # the frame's scale (site tables are identical, so same patches)
+        assert np.allclose(norm.max(axis=(1, 2, 3)), 1.0, atol=1e-5)
+        assert not np.allclose(raw.max(axis=(1, 2, 3)), 1.0, atol=1e-5)
+
     def test_rejects_host_callable_transform(self, frames):
         with pytest.raises(TypeError):
             AdaptiveLatticeDataset(frames, 64, transform=lambda x: x)

