@@ -94,8 +94,11 @@ class RotationSTN(nn.Module):
         theta = jnp.arctan2(sin_theta, cos_theta)[:, None]  # [B, 1]
         return cos_theta, sin_theta, theta
 
-    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
-        cos_theta, sin_theta, theta = self.localize(x)
+    def apply_rotation(
+        self, x: jax.Array, cos_theta: jax.Array, sin_theta: jax.Array,
+        theta: jax.Array,
+    ) -> jax.Array:
+        """The STN's canonicalizing resample for an already-localized angle."""
         if self.fast_resample:
             # Under the mixed-precision policy the canonicalizing resample
             # runs in the compute dtype — the TPU analog of the reference's
@@ -104,12 +107,14 @@ class RotationSTN(nn.Module):
             # The conv trunk consumes the result in that dtype anyway.
             if self.compute_dtype is not None:
                 x = x.astype(jnp.dtype(self.compute_dtype))
-            x_rotated = rotate_image_fast(x, theta, padding_mode="reflection")
-        else:
-            mat = rotation_matrix(cos_theta, sin_theta)
-            grid = affine_grid(mat, x.shape[1:3])
-            x_rotated = grid_sample(x, grid, padding_mode="reflection")
-        return x_rotated, theta
+            return rotate_image_fast(x, theta, padding_mode="reflection")
+        mat = rotation_matrix(cos_theta, sin_theta)
+        grid = affine_grid(mat, x.shape[1:3])
+        return grid_sample(x, grid, padding_mode="reflection")
+
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        cos_theta, sin_theta, theta = self.localize(x)
+        return self.apply_rotation(x, cos_theta, sin_theta, theta), theta
 
     @staticmethod
     def get_rotation_matrix(theta: jax.Array) -> jax.Array:
@@ -179,6 +184,30 @@ class Encoder(nn.Module):
         """
         return self.rotation_stn.localize(x)[2]
 
+    def encode_pair_with_canonical(
+        self, x: jax.Array, x_rot: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+        """encode_with_canonical(x) + predict_theta(x_rot) in one pass.
+
+        The two localization forwards run as ONE conv pass on the
+        concatenated [2B] batch — mathematically identical (convs/dense
+        are row-independent; there is no batch-coupled layer) but half the
+        kernel launches and better lane utilization for the C_in=1 stages.
+        Returns (mu, logvar, theta, x_canonical, theta_rot).
+        """
+        B = x.shape[0]
+        both = jnp.concatenate([x, x_rot], axis=0)
+        cos_b, sin_b, theta_b = self.rotation_stn.localize(both)
+        theta, theta_rot = theta_b[:B], theta_b[B:]
+        x_rotated = self.rotation_stn.apply_rotation(
+            x, cos_b[:B], sin_b[:B], theta
+        )
+        h = x_rotated
+        for conv in self._convs:
+            h = nn.relu(conv(h))
+        h = h.reshape(h.shape[0], -1).astype(jnp.float32)
+        return self.fc_mu(h), self.fc_logvar(h), theta, x_rotated, theta_rot
+
 
 class Decoder(nn.Module):
     """Upsample+conv decoder (no checkerboard artifacts).
@@ -236,24 +265,17 @@ class RVAE(nn.Module):
     ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
         return self.train_forward(x)[:5]
 
-    def train_forward(
-        self, x: jax.Array
-    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-        """Forward returning a 6th output: the STN-canonicalized input.
-
-        Same computation as `__call__` (the reference 5-tuple,
-        model.py:442-472) plus the canonical-frame target the training
-        loss needs anyway — reusing the STN's internal resample instead
-        of recomputing rotate_to_canonical(x, theta) in the loss.
-        """
-        mu, logvar, theta, x_canonical = self.encoder.encode_with_canonical(x)
+    def _decode_and_unrotate(
+        self, mu: jax.Array, logvar: jax.Array, theta: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """reparameterize -> decode -> inverse rotation (-theta)."""
         z = reparameterize(self.make_rng("sample"), mu, logvar)
         recon = self.decoder(z)
 
         inverse_theta = -theta
         if self.fast_resample:
             # Inverse rotation in the compute dtype (AMP analog, see
-            # RotationSTN.__call__); output restored to float32 — the
+            # RotationSTN.apply_rotation); output restored to float32 — the
             # public forward contract and the loss reductions stay f32.
             rec_in = recon
             if self.compute_dtype is not None:
@@ -265,7 +287,40 @@ class RVAE(nn.Module):
             mat = RotationSTN.get_rotation_matrix(inverse_theta)
             grid = affine_grid(mat, recon.shape[1:3])
             rotated_recon = grid_sample(recon, grid, padding_mode="reflection")
+        return rotated_recon, recon
+
+    def train_forward(
+        self, x: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Forward returning a 6th output: the STN-canonicalized input.
+
+        Same computation as `__call__` (the reference 5-tuple,
+        model.py:442-472) plus the canonical-frame target the training
+        loss needs anyway — reusing the STN's internal resample instead
+        of recomputing rotate_to_canonical(x, theta) in the loss.
+        """
+        mu, logvar, theta, x_canonical = self.encoder.encode_with_canonical(x)
+        rotated_recon, recon = self._decode_and_unrotate(mu, logvar, theta)
         return rotated_recon, recon, theta, mu, logvar, x_canonical
+
+    def train_forward_paired(
+        self, x: jax.Array, x_rot: jax.Array
+    ) -> tuple[
+        jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array
+    ]:
+        """train_forward(x) + predict_theta(x_rot), localizations batched.
+
+        The training step needs both every step (reference
+        train.py:315-354); batching the two localization forwards into one
+        [2B] conv pass is mathematically identical and measurably cheaper
+        (see Encoder.encode_pair_with_canonical). Returns the train_forward
+        6-tuple + theta_rot.
+        """
+        mu, logvar, theta, x_canonical, theta_rot = (
+            self.encoder.encode_pair_with_canonical(x, x_rot)
+        )
+        rotated_recon, recon = self._decode_and_unrotate(mu, logvar, theta)
+        return rotated_recon, recon, theta, mu, logvar, x_canonical, theta_rot
 
     def encode(self, x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
         return self.encoder(x)

@@ -205,10 +205,11 @@ def _rvae_paired_loss(model, params, x, x_rot, angle, key, beta, gamma,
 
     Returns (total, aux) with every term the callers' metrics need.
     """
-    rotated_recon, canonical, theta, mu, logvar, canonical_input = model.apply(
-        params, x, rngs={"sample": key}, method="train_forward"
+    rotated_recon, canonical, theta, mu, logvar, canonical_input, theta_rot = (
+        model.apply(
+            params, x, x_rot, rngs={"sample": key}, method="train_forward_paired"
+        )
     )
-    theta_rot = model.apply(params, x_rot, method="predict_theta")
     total, rl, kl, cyc = rvae_loss(
         rotated_recon, x, mu, logvar, theta, theta_rot, angle,
         beta=1.0, gamma=1.0, use_diversity=use_diversity,
@@ -700,16 +701,21 @@ def metrics_to_host(metrics: dict) -> dict:
     The tunneled TPU pays ~20 ms of latency per blocking host readback,
     so reading a 7-12 entry metrics dict one float() at a time costs
     150-250 ms PER EPOCH — comparable to the compute of several training
-    batches. Stacking the (same-shaped) values on device first makes the
-    whole dict one round trip. Returns numpy values (scalar entries come
-    back as 0-d arrays; float() them freely — they are already on host).
+    batches. Values are ravel-and-concatenated on device (any mix of
+    shapes within one float-castable dict works) so the whole dict is one
+    round trip; each entry comes back as a host numpy array with its
+    original shape (scalars as 0-d arrays; float() them freely).
     """
     names = list(metrics)
     if not names:
         return {}
-    vec = jnp.stack([jnp.asarray(metrics[n], jnp.float32) for n in names])
-    arr = np.asarray(vec)
-    return dict(zip(names, arr))
+    vals = [jnp.asarray(metrics[n], jnp.float32) for n in names]
+    flat = np.asarray(jnp.concatenate([v.ravel() for v in vals]))
+    out, off = {}, 0
+    for n, v in zip(names, vals):
+        out[n] = flat[off : off + v.size].reshape(v.shape)
+        off += v.size
+    return out
 
 
 def _accumulate_epoch(metric_dicts: list[dict]) -> dict[str, float]:
@@ -831,23 +837,25 @@ def evaluate_rotation_invariance(
     angles_rad = jnp.asarray([a * jnp.pi / 180.0 for a in angles], dtype=jnp.float32)
 
     @jax.jit
-    def probe(params, a, k):
+    def probe(params, images, a, k):
         """One angle: rotate -> forward -> un-rotate; compiled once, the
-        angle is traced so all angles share the compilation."""
-        rotated = rotate_image_fast(images, jnp.full((images.shape[0],), a), "reflection")
+        angle is traced so all angles share the compilation. `images` is
+        an explicit argument (a closed-over device array would be baked
+        into the executable, forcing a D2H readback at lowering — which
+        the tunneled TPU refuses — and a recompile per probe batch)."""
+        angle_vec = jnp.full((images.shape[0],), a)
+        rotated = rotate_image_fast(images, angle_vec, "reflection")
         rotated_recon, _recon, theta, mu, _logvar = model.apply(
             params, rotated, rngs={"sample": k}
         )
-        unrotated = rotate_image_fast(
-            rotated_recon, jnp.full((images.shape[0],), -a), "reflection"
-        )
+        unrotated = rotate_image_fast(rotated_recon, -angle_vec, "reflection")
         rmse = jnp.sqrt(jnp.mean((unrotated - images) ** 2))
         return mu, theta, rmse, psnr(unrotated, images), ssim(unrotated, images)
 
     mus, recon_errs, psnrs, ssims, angle_errs = [], [], [], [], []
     base_theta = None
     for i, a in enumerate(angles_rad):
-        mu, theta, rmse, p, s = probe(params, a, jax.random.fold_in(key, i))
+        mu, theta, rmse, p, s = probe(params, images, a, jax.random.fold_in(key, i))
         mus.append(mu)
         recon_errs.append(rmse)
         psnrs.append(p)

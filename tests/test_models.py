@@ -128,6 +128,69 @@ class TestTrainForwardPaths:
             np.asarray(canonical_input), np.asarray(rotate_to_canonical(x, theta))
         )
 
+    @pytest.mark.parametrize("fast", [True, False])
+    def test_train_forward_paired_matches_separate(self, fast):
+        """Batched pair localization == train_forward + predict_theta.
+
+        The [2B]-batched localization pass must be exactly the two
+        separate passes (convs/dense are row-independent); this pins the
+        production step's optimization to the reference semantics.
+        """
+        model, params, x = self._setup(fast)
+        x_rot = jax.random.uniform(jax.random.key(11), x.shape)
+        out6 = model.apply(
+            params, x, rngs={"sample": jax.random.key(7)}, method="train_forward"
+        )
+        theta_rot = model.apply(params, x_rot, method="predict_theta")
+        out7 = model.apply(
+            params, x, x_rot, rngs={"sample": jax.random.key(7)},
+            method="train_forward_paired",
+        )
+        assert len(out7) == 7
+        for i, (a, b) in enumerate(zip(out6 + (theta_rot,), out7)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6,
+                err_msg=f"output {i} differs",
+            )
+
+    def test_train_forward_paired_gradients_match_separate(self):
+        """d(objective)/dparams identical through the batched pass."""
+        model, params, x = self._setup(True)
+        x_rot = jax.random.uniform(jax.random.key(11), x.shape)
+
+        def obj_separate(p):
+            rr, _, theta, mu, logvar, ci = model.apply(
+                p, x, rngs={"sample": jax.random.key(7)}, method="train_forward"
+            )
+            th_r = model.apply(p, x_rot, method="predict_theta")
+            return (
+                jnp.mean((rr - x) ** 2) + jnp.mean(mu**2)
+                + jnp.sum(jnp.sin(theta - th_r)) + jnp.mean(ci)
+            )
+
+        def obj_paired(p):
+            rr, _, theta, mu, logvar, ci, th_r = model.apply(
+                p, x, x_rot, rngs={"sample": jax.random.key(7)},
+                method="train_forward_paired",
+            )
+            return (
+                jnp.mean((rr - x) ** 2) + jnp.mean(mu**2)
+                + jnp.sum(jnp.sin(theta - th_r)) + jnp.mean(ci)
+            )
+
+        g1 = jax.grad(obj_separate)(params)
+        g2 = jax.grad(obj_paired)(params)
+        flat1 = jax.tree_util.tree_leaves_with_path(g1)
+        flat2 = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+        for k, v in flat1:
+            # rtol: the batched pass sums parameter gradients over one 2B
+            # reduction instead of two B reductions — same math, f32
+            # accumulation order differs (observed ~7e-7 relative)
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(flat2[jax.tree_util.keystr(k)]),
+                rtol=1e-5, atol=1e-5, err_msg=jax.tree_util.keystr(k),
+            )
+
     def test_predict_theta_gradients_match_encode(self):
         """d(cycle-ish scalar)/dparams identical through either pass."""
         model, params, x = self._setup(True)
