@@ -345,17 +345,16 @@ def rotate_image_fast(
     cols = (jnp.arange(P, dtype=jnp.float32) - c)[None, None, :, None]  # [1,1,P,1]
 
     if _use_pallas_backend(backend) and C == 1:
-        from .pallas.shear import fractional_shift_pallas
+        from .pallas.rot3 import rot3_pallas
 
         x2 = img[..., 0]  # [B, P, P]
         d_row = (alpha * rows)[:, :, 0, 0]  # [B, P] per-row shift (along W)
         d_col = (beta * cols)[:, 0, :, 0]  # [B, P] per-col shift (along H)
         d_row = jnp.broadcast_to(d_row, (B, P))
         d_col = jnp.broadcast_to(d_col, (B, P))
-        out = fractional_shift_pallas(x2, d_row, 2)
-        out = fractional_shift_pallas(out, d_col, 1)
-        out = fractional_shift_pallas(out, d_row, 2)
-        out = out[..., None]
+        # one fused kernel for all three shears (fwd AND bwd); arithmetic
+        # identical to the XLA branch below (f32 throughout, one cast)
+        out = rot3_pallas(x2, d_row, d_col)[..., None]
     else:
         # Sx: out[y, x] = in[y, x + alpha*(y-c)] — shift along W, const per row
         out = _fractional_shift(img, alpha * rows, axis=2)
