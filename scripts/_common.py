@@ -44,9 +44,14 @@ def resolve_images(args) -> list[np.ndarray]:
     """Load frames from --data h5 paths, data/*.h5, or --synthetic."""
     if getattr(args, "synthetic", 0):
         size = getattr(args, "synthetic_size", 1024)
+        kwargs = {}
+        if getattr(args, "synthetic_vacancy_rate", None) is not None:
+            kwargs["vacancy_rate"] = args.synthetic_vacancy_rate
+        if getattr(args, "synthetic_s_amplitude", None) is not None:
+            kwargs["s_amplitude"] = args.synthetic_s_amplitude
         print(f"Generating {args.synthetic} synthetic MoS2 frames ({size}x{size})...")
         return [
-            synthetic_mos2_frame(size=size, spacing=40.0, seed=s)[0]
+            synthetic_mos2_frame(size=size, spacing=40.0, seed=s, **kwargs)[0]
             for s in range(args.synthetic)
         ]
     paths = args.data if args.data else sorted(glob.glob("data/*.h5"))
@@ -75,6 +80,15 @@ def add_data_flags(parser) -> None:
     )
     parser.add_argument(
         "--synthetic-size", type=int, default=1024, help="Synthetic frame size"
+    )
+    parser.add_argument(
+        "--synthetic-vacancy-rate", type=float, default=None,
+        help="S-vacancy rate for synthetic frames (default: generator's 0.03; "
+        "the BASELINE.md vacancy regime uses 0.12)",
+    )
+    parser.add_argument(
+        "--synthetic-s-amplitude", type=float, default=None,
+        help="S-site amplitude for synthetic frames (vacancy regime: 0.45)",
     )
 
 

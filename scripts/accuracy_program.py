@@ -149,8 +149,9 @@ def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache,
     )
 
     t0 = time.time()
+    latent_dim = int(cfg.get("latent_dim") or args.latent_dim)
     model = RVAE(
-        latent_dim=args.latent_dim, patch_size=args.patch_size,
+        latent_dim=latent_dim, patch_size=args.patch_size,
         compute_dtype="bfloat16",
     )
     key = jax.random.key(args.seed if seed is None else seed)
@@ -162,14 +163,15 @@ def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache,
     n = len(train_ds)
     batch = min(args.batch_size, n)
     steps = max(1, n // batch)
-    # Configs sharing a normalize flag share one compiled step/encode (all
-    # configs use the same lr schedule; beta/gamma are traced arguments).
-    if cfg["normalize"] not in step_cache:
+    # Configs sharing (latent_dim, normalize, lr) share one compiled
+    # step/encode (the lr schedule is baked into tx; beta/gamma are traced).
+    cache_key = (latent_dim, cfg["normalize"], float(cfg["lr"]))
+    if cache_key not in step_cache:
         tx = make_optimizer(
             cosine_annealing(cfg["lr"], args.epochs * steps),
             optimizer="adamw", weight_decay=1e-5,
         )
-        step_cache[cfg["normalize"]] = (
+        step_cache[cache_key] = (
             tx,
             make_fused_rvae_train_step(
                 model, tx, patch_size=args.patch_size, padding=args.padding,
@@ -182,7 +184,7 @@ def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache,
                 margin=eval_ds._margin, normalize=cfg["normalize"],
             ),
         )
-    tx, step, encode = step_cache[cfg["normalize"]]
+    tx, step, encode = step_cache[cache_key]
     state = TrainState.create(params, tx)
     frames_padded, img_idx_dev, coords_dev, _ = train_ds.device_site_table
 
@@ -248,11 +250,14 @@ def summarize_seeds(results) -> list[dict]:
     the BASELINE.md headline claims; VERDICT r2 weak 6)."""
     groups: dict[tuple, list[dict]] = {}
     for r in results:
-        k = (r["config"]["beta"], r["config"]["normalize"])
+        c = r["config"]
+        k = (c["beta"], c["normalize"], c.get("lr"), c.get("latent_dim"),
+             c.get("gamma"))
         groups.setdefault(k, []).append(r)
     rows = []
-    for (beta, normalize), rs in groups.items():
-        row = {"beta": beta, "normalize": normalize, "n_seeds": len(rs),
+    for (beta, normalize, lr, latent_dim, gamma), rs in groups.items():
+        row = {"beta": beta, "normalize": normalize, "lr": lr,
+               "latent_dim": latent_dim, "gamma": gamma, "n_seeds": len(rs),
                "seeds": [r["seed"] for r in rs]}
         for key in _SUMMARY_KEYS:
             vals = np.asarray([r[key] for r in rs], dtype=float)
@@ -302,12 +307,33 @@ def main(args):
         f"matched Mo/S/vac = {n_by_class}"
     )
 
-    configs = []
-    for beta in args.betas:
-        for normalize in ([True, False] if args.norm_ablation else [True]):
-            configs.append(
-                {"beta": beta, "gamma": args.gamma, "lr": args.lr, "normalize": normalize}
-            )
+    if args.configs_json:
+        # Score externally-chosen configs (e.g. the sweep's top-k from
+        # ray_results/*/results.json or best_config.json) on the vacancy
+        # metrics — the bridge between the sweep engine and this program
+        # (VERDICT r2 item 5).
+        raw = json.loads(open(args.configs_json).read())
+        if isinstance(raw, dict):
+            raw = [raw]
+        configs = []
+        for row in raw[: args.top_k]:
+            c = row.get("config", row)
+            configs.append({
+                "beta": float(c.get("beta", 1.0)),
+                "gamma": float(c.get("gamma") or args.gamma),
+                "lr": float(c.get("lr", args.lr)),
+                "normalize": bool(c.get("normalize", True)),
+                "latent_dim": int(c.get("latent_dim") or args.latent_dim),
+            })
+        print(f"Scoring {len(configs)} configs from {args.configs_json}")
+    else:
+        configs = []
+        for beta in args.betas:
+            for normalize in ([True, False] if args.norm_ablation else [True]):
+                configs.append(
+                    {"beta": beta, "gamma": args.gamma, "lr": args.lr,
+                     "normalize": normalize}
+                )
 
     results = []
     step_cache: dict = {}
@@ -381,6 +407,15 @@ def build_argparser():
         "--seeds", type=int, default=1,
         help="Seeds per config; >1 also writes <out>.summary.json with "
         "mean±std across seeds",
+    )
+    p.add_argument(
+        "--configs-json", type=str, default=None,
+        help="Score configs from a JSON file (sweep results.json rows or "
+        "best_config.json) instead of the beta x norm grid",
+    )
+    p.add_argument(
+        "--top-k", type=int, default=5,
+        help="With --configs-json: score at most this many configs",
     )
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--quick", action="store_true", help="tiny smoke run")

@@ -150,13 +150,14 @@ def _trial_body(config, report, dataset, compiled, ckpt_path, trial_seed,
         idx_batches = jnp.asarray(train_idx)[
             perm[: steps * batch_size]
         ].reshape(steps, -1)
+        gamma = float(config.get("gamma") or 0.0)
         state, tm = step(
             state, frames_padded, img_idx_dev, coords_dev,
-            idx_batches, kstep, beta, 0.0,
+            idx_batches, kstep, beta, gamma,
         )
         vm = evaluate_fused(
             fused_eval, fused_eval, state.params, dataset.device_site_table,
-            val_idx, min(batch_size, len(val_idx)), vk, beta=beta,
+            val_idx, min(batch_size, len(val_idx)), vk, beta=beta, gamma=gamma,
         )
         val_loss = vm.get("val_loss", float("inf"))
 
@@ -268,7 +269,9 @@ def process_trainable(data_spec, config, report):
         jax.config.update("jax_platforms", force)
 
     ns = argparse.Namespace(**{
-        k: data_spec.get(k) for k in ("synthetic", "synthetic_size", "data", "dataset_name")
+        k: data_spec.get(k)
+        for k in ("synthetic", "synthetic_size", "synthetic_vacancy_rate",
+                  "synthetic_s_amplitude", "data", "dataset_name")
     })
     images = resolve_images(ns)
     normalize = bool(config.get("normalize", True))
@@ -333,6 +336,12 @@ def run_hyperparameter_search(args) -> None:
             choice([True, False]) if args.search_norm
             else not args.no_per_patch_norm
         ),
+        # rotation-diversity weight (0 = the reference trial's plain
+        # VAELoss); searchable for the vacancy program (VERDICT r2 item 5)
+        "gamma": (
+            loguniform(args.gamma_min, args.gamma_max) if args.search_gamma
+            else args.gamma
+        ),
         # fixed parameters
         "patch_size": args.patch_size,
         "padding": args.padding,
@@ -372,6 +381,8 @@ def run_hyperparameter_search(args) -> None:
         data_spec = {
             "synthetic": getattr(args, "synthetic", 0),
             "synthetic_size": getattr(args, "synthetic_size", 1024),
+            "synthetic_vacancy_rate": getattr(args, "synthetic_vacancy_rate", None),
+            "synthetic_s_amplitude": getattr(args, "synthetic_s_amplitude", None),
             "data": args.data,
             "dataset_name": getattr(args, "dataset_name", None),
             "ckpt_dir": str(results_dir / "checkpoints"),
@@ -448,6 +459,13 @@ def build_argparser() -> argparse.ArgumentParser:
         action="store_true",
         help="Make per-patch normalization a searchable choice([True, False])",
     )
+    parser.add_argument(
+        "--gamma", type=float, default=0.0,
+        help="Fixed rotation-diversity weight (0 = reference trial's VAELoss)",
+    )
+    parser.add_argument("--search-gamma", action="store_true")
+    parser.add_argument("--gamma-min", type=float, default=1.0)
+    parser.add_argument("--gamma-max", type=float, default=20.0)
     parser.add_argument("--epochs", type=int, default=310)
     parser.add_argument("--beta-annealing", action="store_true")
     parser.add_argument("--beta-annealing-epochs", type=int, default=10)

@@ -162,6 +162,34 @@ def test_sweep_cli_process_executor(tmp_path):
 
 
 @pytest.mark.slow
+def test_production_numerics_elbo_gate(tmp_path):
+    """Production numerics gate: fast 3-shear + bf16 vs exact f32 on
+    TRAINED weights, identical batches/noise, full rVAE objective.
+
+    Pins the path production actually trains (compute_dtype=bfloat16,
+    fast_resample=True) against the exact torch-parity float32 resampler
+    at <= 1e-3 relative — so a future "optimization" that breaks the fast
+    path fails the suite, not just a script log (VERDICT r2 item 4; the
+    TPU-measured production value is 7.2e-5, this CPU small-scale config
+    measures ~1.1e-4)."""
+    r = _run(
+        [
+            "compare_resample_elbo.py", "--cpu",
+            "--synthetic", "1", "--synthetic-size", "512",
+            "--patch-size", "32", "--padding", "8",
+            "--batch-size", "128", "--latent-dim", "8",
+            "--train-epochs", "5", "--eval-batches", "2",
+            "--compute-dtype", "bfloat16",
+        ],
+        timeout=1100,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    start = r.stdout.index("{")
+    result = json.loads(r.stdout[start:])
+    assert result["relative_delta"] < 1e-3, result
+
+
+@pytest.mark.slow
 def test_compare_resample_elbo_smoke(tmp_path):
     r = _run(
         [
