@@ -315,6 +315,14 @@ def main(args):
         raw = json.loads(open(args.configs_json).read())
         if isinstance(raw, dict):
             raw = [raw]
+        # sweep results.json rows carry val_loss: score the top-k by it
+        # (completed trials first); a bare best_config.json has neither
+        raw = sorted(
+            raw,
+            key=lambda r: (
+                r.get("val_loss") if r.get("val_loss") is not None else float("inf")
+            ),
+        )
         configs = []
         for row in raw[: args.top_k]:
             c = row.get("config", row)
@@ -369,8 +377,8 @@ def main(args):
                 f"  beta {row['beta']:<5} norm {str(row['normalize']):<5} "
                 f"({row['n_seeds']} seeds): "
                 + " | ".join(
-                    f"{k.split('_mean')[0]} {row[k]:.3f}±{row[k.replace('_mean', '_std')]:.3f}"
-                    for k in row if k.endswith("_mean")
+                    f"{k} {row[f'{k}_mean']:.3f}±{row[f'{k}_std']:.3f}"
+                    for k in _SUMMARY_KEYS
                 )
             )
         print(f"Summary written to {spath}")

@@ -103,6 +103,52 @@ def main(args):
         x, x_rot, angle = extract(env, k)
         return acc + jnp.sum(x[0, 0, 0]) + jnp.sum(x_rot[0, 0, 0]) + angle[0]
 
+    # --- extraction sub-stages (where do the ~30 us/patch go?) ---
+    from livae_tpu.data.pipeline import (
+        _crop_rois,
+        _minmax_normalize,
+        _sample_aug,
+        _scale_translate,
+    )
+
+    P2 = P + 2 * padding
+    roi_sz = P2 + 16
+
+    def _crop(env, k):
+        idx = jax.random.randint(k, (B,), 0, n_sites)
+        cy, cx = env["coords"][idx, 0], env["coords"][idx, 1]
+        return _crop_rois(env["frames"], env["img_idx"][idx], cy, cx, roi_sz, margin)
+
+    @stage("x_crop_rois")
+    def _(i, acc, k, env):
+        rois, ry, rx = _crop(env, k)
+        return acc + jnp.sum(rois[0, 0]) + ry[0] + rx[0]
+
+    @stage("x_crop_resample")
+    def _(i, acc, k, env):
+        rois, ry, rx = _crop(env, k)
+        scale, angle, fh, fv, jy, jx = _sample_aug(k, B, cfg)
+        p_big = _scale_translate(rois, ry, rx, P2, scale, fh, fv, jy, jx)
+        return acc + jnp.sum(p_big[0, 0])
+
+    @stage("x_rot_copy_only")
+    def _(i, acc, k, env):
+        rois, ry, rx = _crop(env, k)
+        scale, angle, fh, fv, jy, jx = _sample_aug(k, B, cfg)
+        p_big = _scale_translate(rois, ry, rx, P2, scale, fh, fv, jy, jx)
+        rot = rotate_image_fast(
+            p_big[..., None].astype(jnp.bfloat16), angle, "zeros", margin=P2 // 6
+        )[..., 0]
+        return acc + jnp.sum(rot[0, 0].astype(jnp.float32))
+
+    @stage("x_normalize_only")
+    def _(i, acc, k, env):
+        rois, ry, rx = _crop(env, k)
+        scale, angle, fh, fv, jy, jx = _sample_aug(k, B, cfg)
+        p_big = _scale_translate(rois, ry, rx, P2, scale, fh, fv, jy, jx)
+        pn = _minmax_normalize(p_big)
+        return acc + jnp.sum(pn[0, 0])
+
     @stage("encoder_fwd")
     def _(i, acc, k, env):
         x, _, _ = extract(env, k)
