@@ -67,15 +67,14 @@ def pad_frames(frames: jax.Array, margin: int) -> jax.Array:
     return jnp.pad(frames, ((0, 0), (margin, margin), (margin, margin)))
 
 
-def _axis_resample(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
-    """1-D bilinear resample along `axis` at per-sample source coords.
+def _bilinear_axis_weights(
+    src: jax.Array, n: int
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Shared index/weight math for the 1-D bilinear resample backends.
 
-    x: [B, H, W]; src: [B, n_out] float source indices along `axis`
-    (identical for all positions of the other axis — separable affine).
-    Uses row-gathers (take_along_axis with a size-1 trailing broadcast),
-    the fast gather formulation on TPU.
+    Returns (i0c, i1c, w0, w1): clipped int32 source indices and the
+    zero-outside-bounds lerp weights, all shaped like `src` ([B, n_out]).
     """
-    n = x.shape[axis]
     i0 = jnp.floor(src)
     f = src - i0
     i0 = i0.astype(jnp.int32)
@@ -84,20 +83,154 @@ def _axis_resample(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
     valid1 = (i1 >= 0) & (i1 <= n - 1)
     i0c = jnp.clip(i0, 0, n - 1)
     i1c = jnp.clip(i1, 0, n - 1)
+    w0 = jnp.where(valid0, 1.0 - f, 0.0)
+    w1 = jnp.where(valid1, f, 0.0)
+    return i0c, i1c, w0, w1
 
+
+def _axis_resample_gather(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
+    """Gather backend: take_along_axis with a size-1 trailing broadcast."""
+    n = x.shape[axis]
+    i0c, i1c, w0, w1 = _bilinear_axis_weights(src, n)
     if axis == 1:
         g0 = jnp.take_along_axis(x, i0c[:, :, None], axis=1)
         g1 = jnp.take_along_axis(x, i1c[:, :, None], axis=1)
-        w0 = (jnp.where(valid0, 1.0 - f, 0.0))[:, :, None]
-        w1 = (jnp.where(valid1, f, 0.0))[:, :, None]
+        w0, w1 = w0[:, :, None], w1[:, :, None]
     elif axis == 2:
         g0 = jnp.take_along_axis(x, i0c[:, None, :], axis=2)
         g1 = jnp.take_along_axis(x, i1c[:, None, :], axis=2)
-        w0 = (jnp.where(valid0, 1.0 - f, 0.0))[:, None, :]
-        w1 = (jnp.where(valid1, f, 0.0))[:, None, :]
+        w0, w1 = w0[:, None, :], w1[:, None, :]
     else:  # pragma: no cover
         raise ValueError(axis)
     return g0 * w0 + g1 * w1
+
+
+def _axis_resample_matmul(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
+    """Matmul backend: contract against a 2-nonzeros-per-row bilinear matrix.
+
+    W[b, o, i] = w0[b, o]·[i == i0[b, o]] + w1[b, o]·[i == i1[b, o]], then
+    out = W @ x (axis 1) or x @ W^T (axis 2) as an f32 batched dot_general
+    at Precision.HIGHEST (on TPU, DEFAULT would demote f32 contractions to
+    one bf16 MXU pass — a ~1e-3 relative data perturbation; HIGHEST keeps
+    f32-grade accuracy and the pass multiple is irrelevant at these MXU
+    costs). Same two products per output as the gather backend; only the
+    contraction's add order/FMA usage differs, so the backends agree to
+    1 ulp (tests/test_data.py::test_axis_resample_backends_agree).
+
+    Why a matmul for a 2-sparse operator: XLA lowers per-(b, o) variable
+    indices to an elementwise gather, ~30x slower than vector ops on TPU
+    (see ops/resample.py); the dense contraction rides the MXU where these
+    shapes ([B, ~200, ~200]) cost well under a microsecond per patch.
+    """
+    n = x.shape[axis]
+    i0c, i1c, w0, w1 = _bilinear_axis_weights(src, n)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    W = w0[..., None] * (i0c[..., None] == iota) + w1[..., None] * (
+        i1c[..., None] == iota
+    )  # [B, n_out, n] f32
+    if axis == 1:
+        # [B, n_out, n] . [B, n, W] -> [B, n_out, W]
+        return jax.lax.dot_general(
+            W,
+            x,
+            (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    elif axis == 2:
+        # [B, H, n] . [B, n_out, n] -> [B, H, n_out]
+        return jax.lax.dot_general(
+            x,
+            W,
+            (((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    else:  # pragma: no cover
+        raise ValueError(axis)
+
+
+def _axis_resample(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
+    """1-D bilinear resample along `axis` at per-sample source coords.
+
+    x: [B, H, W]; src: [B, n_out] float source indices along `axis`
+    (identical for all positions of the other axis — separable affine).
+    On TPU the one-hot-matmul formulation wins (MXU time is negligible at
+    these shapes and it avoids XLA's slow elementwise gather); elsewhere
+    the row-gather formulation wins.
+    """
+    if jax.default_backend() == "tpu":
+        return _axis_resample_matmul(x, src, axis)
+    return _axis_resample_gather(x, src, axis)
+
+
+def _crop_starts(
+    cy: jax.Array, cx: jax.Array, roi: int, margin: int
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Integer crop origins (in padded-frame coords) + sub-pixel residuals."""
+    y_int = jnp.round(cy).astype(jnp.int32)
+    x_int = jnp.round(cx).astype(jnp.int32)
+    y0 = y_int - roi // 2 + margin
+    x0 = x_int - roi // 2 + margin
+    ry = cy - (y_int - roi // 2).astype(cy.dtype)
+    rx = cx - (x_int - roi // 2).astype(cx.dtype)
+    return y0, x0, ry, rx
+
+
+def _crop_rois_slice(
+    frames_padded: jax.Array,
+    img_idx: jax.Array,
+    y0: jax.Array,
+    x0: jax.Array,
+    roi: int,
+) -> jax.Array:
+    """dynamic_slice backend: one slice per sample (good on CPU)."""
+
+    def one(i, y, x):
+        return jax.lax.dynamic_slice(
+            frames_padded, (i, y, x), (1, roi, roi)
+        )[0]
+
+    return jax.vmap(one)(img_idx, y0, x0)
+
+
+def _crop_rois_rowgather(
+    frames_padded: jax.Array,
+    img_idx: jax.Array,
+    y0: jax.Array,
+    x0: jax.Array,
+    roi: int,
+) -> jax.Array:
+    """Row-gather + one-hot-matmul backend (TPU).
+
+    vmap'd dynamic_slice lowers on TPU to a SERIAL per-sample
+    dynamic-update-slice loop (scripts/trace_ops.py: occurrences == B per
+    step). Instead: flatten frames to [N*Hp, Wp] and take whole padded
+    rows at img*Hp + y0 + i (a row gather — the fast gather formulation
+    on TPU), then crop columns by contracting with the 0/1 matrix
+    [j == x0 + c] on the MXU. Precision.HIGH (bf16x3) reconstructs f32
+    exactly for a 0/1 selector: each f32 operand splits into three bf16
+    terms covering mantissa bits 1-8/9-16/17-24, each product is exact,
+    and the f32 accumulation hi+mid+lo re-rounds to the original value —
+    so the result is bit-identical to the sliced crop
+    (tests/test_data.py::test_crop_backends_agree) at half the passes of
+    HIGHEST.
+    """
+    N, Hp, Wp = frames_padded.shape
+    flat = frames_padded.reshape(N * Hp, Wp)
+    rows = img_idx[:, None] * Hp + y0[:, None] + jnp.arange(roi, dtype=jnp.int32)
+    strip = jnp.take(flat, rows, axis=0)  # [B, roi, Wp]
+    cols = x0[:, None] + jnp.arange(roi, dtype=jnp.int32)  # [B, roi]
+    sel = (cols[:, :, None] == jnp.arange(Wp, dtype=jnp.int32)).astype(
+        frames_padded.dtype
+    )  # [B, roi, Wp]
+    return jax.lax.dot_general(
+        strip,
+        sel,
+        (((2,), (2,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGH,
+        preferred_element_type=frames_padded.dtype,
+    )
 
 
 def _crop_rois(
@@ -111,21 +244,15 @@ def _crop_rois(
     """Batched integer ROI crop around rounded centers.
 
     Returns (rois [B, roi, roi], ry, rx): the sub-pixel center position
-    inside each ROI.
+    inside each ROI. Both backends assume the pad margin keeps every crop
+    in bounds (guaranteed by pad_frames' margin — the reference's
+    zero-padding of edge ROIs, src/livae/data.py:506-522).
     """
-    y_int = jnp.round(cy).astype(jnp.int32)
-    x_int = jnp.round(cx).astype(jnp.int32)
-    y0 = y_int - roi // 2 + margin
-    x0 = x_int - roi // 2 + margin
-
-    def one(i, y, x):
-        return jax.lax.dynamic_slice(
-            frames_padded, (i, y, x), (1, roi, roi)
-        )[0]
-
-    rois = jax.vmap(one)(img_idx, y0, x0)
-    ry = cy - (y_int - roi // 2).astype(cy.dtype)
-    rx = cx - (x_int - roi // 2).astype(cx.dtype)
+    y0, x0, ry, rx = _crop_starts(cy, cx, roi, margin)
+    if jax.default_backend() == "tpu":
+        rois = _crop_rois_rowgather(frames_padded, img_idx, y0, x0, roi)
+    else:
+        rois = _crop_rois_slice(frames_padded, img_idx, y0, x0, roi)
     return rois, ry, rx
 
 

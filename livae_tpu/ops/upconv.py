@@ -215,6 +215,50 @@ def _phase_gather_5to3(k5: jax.Array) -> jax.Array:
     return kk.reshape(3, 3, 4 * Cin, 4 * Cout)
 
 
+@jax.custom_vjp
+def _phase_max4(y0, y1, y2, y3):
+    """max(y0, y1, y2, y3) elementwise, with a traffic-minimal VJP.
+
+    Autodiff of either jnp.max-over-axis or a maximum tree spends the
+    localization backward on tie-splitting arithmetic: equality preds,
+    0.5x halving, and per-node mask tensors, several of them materialized
+    at [2B, H/2, W/2, C] (measured ~14 us/patch via scripts/trace_ops.py).
+    The custom VJP recomputes the three comparisons from the saved inputs
+    and routes the whole cotangent to the FIRST maximal phase — torch
+    MaxPool2d's tie convention (indices scan the window row-major and the
+    first max wins), which autodiff's even tie-splitting did NOT match.
+    Ties between distinct conv outputs are measure-zero in training
+    practice; the win is one select chain instead of the divide/multiply
+    mask fest.
+    """
+    return jnp.maximum(jnp.maximum(y0, y1), jnp.maximum(y2, y3))
+
+
+def _phase_max4_fwd(y0, y1, y2, y3):
+    return _phase_max4(y0, y1, y2, y3), (y0, y1, y2, y3)
+
+
+def _phase_max4_bwd(res, g):
+    y0, y1, y2, y3 = res
+    m01 = jnp.maximum(y0, y1)
+    m23 = jnp.maximum(y2, y3)
+    zero = jnp.zeros((), g.dtype)
+    left = m01 >= m23  # ties go left (earlier phase) — torch convention
+    g01 = jnp.where(left, g, zero)
+    g23 = jnp.where(left, zero, g)
+    first0 = y0 >= y1
+    first2 = y2 >= y3
+    return (
+        jnp.where(first0, g01, zero),
+        jnp.where(first0, zero, g01),
+        jnp.where(first2, g23, zero),
+        jnp.where(first2, zero, g23),
+    )
+
+
+_phase_max4.defvjp(_phase_max4_fwd, _phase_max4_bwd)
+
+
 def fused_conv5_relu_maxpool(x: jax.Array, k5: jax.Array, b: jax.Array) -> jax.Array:
     """Exact MaxPool2(ReLU(Conv5x5(x, pad='same', bias=b))), NHWC, H,W even.
 
@@ -229,5 +273,18 @@ def fused_conv5_relu_maxpool(x: jax.Array, k5: jax.Array, b: jax.Array) -> jax.A
         xs, k, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    y = jax.nn.relu(y.reshape(B, H // 2, W // 2, 4, Cout) + b)
-    return jnp.max(y, axis=3)
+    # Phase max over the (phase-major) channel blocks via _phase_max4
+    # rather than jnp.max over a reshaped [..., 4, Cout] axis: the values
+    # are identical (max is associative; relu+bias are per-channel), but
+    # the axis-max VJP materializes broadcast/compare/tie-divide tensors
+    # at 4x the pooled size ([2B, H/2, W/2, 4, Cout] — the single most
+    # HBM-hungry region of the train step per scripts/trace_ops.py), while
+    # _phase_max4's custom VJP recomputes three comparisons and routes the
+    # cotangent first-wins (see its note on tie semantics).
+    yb = jax.nn.relu(y + jnp.tile(b, 4))
+    return _phase_max4(
+        yb[..., :Cout],
+        yb[..., Cout : 2 * Cout],
+        yb[..., 2 * Cout : 3 * Cout],
+        yb[..., 3 * Cout :],
+    )

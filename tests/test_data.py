@@ -95,6 +95,54 @@ class TestExtraction:
         fold = _scale_translate(rois, ry, rx, P2, scale, fh, fv, jy, jx)
         np.testing.assert_array_equal(np.asarray(seq), np.asarray(fold))
 
+    def test_axis_resample_backends_agree(self):
+        """The TPU one-hot-matmul resample backend must match the gather
+        backend to 1 ulp (same products; only the contraction's add order /
+        FMA usage differs), including out-of-bounds zero weighting and
+        border clamping."""
+        from livae_tpu.data.pipeline import (
+            _axis_resample_gather,
+            _axis_resample_matmul,
+        )
+
+        rng = np.random.default_rng(7)
+        B, H, W, n_out = 8, 48, 48, 40
+        x = jnp.asarray(rng.random((B, H, W), dtype=np.float32))
+        for axis in (1, 2):
+            n = x.shape[axis]
+            # spans in-bounds, clamped-at-border, and fully out-of-bounds
+            src = jnp.asarray(
+                rng.uniform(-3.0, n + 2.0, (B, n_out)).astype(np.float32)
+            )
+            g = _axis_resample_gather(x, src, axis)
+            m = _axis_resample_matmul(x, src, axis)
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(m), rtol=0.0, atol=2.4e-7
+            )
+
+    def test_crop_backends_agree(self):
+        """The row-gather + 0/1-matmul crop must reproduce the
+        dynamic_slice crop bit-exactly (the selector has one 1 per row and
+        the bf16x3 decomposition reconstructs f32 exactly)."""
+        from livae_tpu.data.pipeline import (
+            _crop_rois_rowgather,
+            _crop_rois_slice,
+            _crop_starts,
+        )
+
+        rng = np.random.default_rng(11)
+        N, H, W, B, roi, margin = 2, 96, 96, 16, 40, 28
+        frames = jnp.asarray(
+            rng.random((N, H + 2 * margin, W + 2 * margin), dtype=np.float32)
+        )
+        img_idx = jnp.asarray(rng.integers(0, N, B), jnp.int32)
+        cy = jnp.asarray(rng.uniform(roi / 2, H - roi / 2, B).astype(np.float32))
+        cx = jnp.asarray(rng.uniform(roi / 2, W - roi / 2, B).astype(np.float32))
+        y0, x0, _, _ = _crop_starts(cy, cx, roi, margin)
+        a = _crop_rois_slice(frames, img_idx, y0, x0, roi)
+        b = _crop_rois_rowgather(frames, img_idx, y0, x0, roi)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_normalization(self):
         frame = np.random.default_rng(0).random((128, 128)).astype(np.float32) * 7 + 3
         fp = pad_frames(jnp.asarray(frame)[None], 64)
