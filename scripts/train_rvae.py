@@ -19,6 +19,7 @@ scripts load them directly.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from datetime import datetime
 from pathlib import Path
@@ -53,6 +54,22 @@ from livae_tpu.utils.checkpoint import (
     stn_spec,
     torch_state_to_params,
 )
+
+
+def _state_digest(state) -> str:
+    """Order-stable sha256 over every param + optimizer-state leaf.
+
+    Debug aid for resume determinism (LIVAE_PARAM_HASH=1): a resumed run
+    must print the same digests as an uninterrupted one, epoch for epoch.
+    """
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves((state.params, state.opt_state, state.step)):
+        h.update(np.asarray(jax.device_get(leaf)).tobytes())
+    return h.hexdigest()[:16]
 
 
 def run_training(args) -> dict:
@@ -186,6 +203,8 @@ def run_training(args) -> dict:
                     "deterministically"
                 )
             print(f"Resumed from {resume_dir} at epoch {start_epoch}")
+            if os.environ.get("LIVAE_PARAM_HASH"):
+                print(f"PARAMHASH resumed {_state_digest(state)}", flush=True)
         else:
             print(f"--resume: no checkpoint in {resume_dir}; starting fresh")
 
@@ -231,6 +250,9 @@ def run_training(args) -> dict:
         if args.profile and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
             print(f"Profiler trace written to {Path(args.log_dir) / 'profile'}")
+
+        if os.environ.get("LIVAE_PARAM_HASH"):
+            print(f"PARAMHASH epoch {epoch} {_state_digest(state)}", flush=True)
 
         metrics = epoch_logger.get_averages()
         history.update(**metrics)

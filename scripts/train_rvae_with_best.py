@@ -41,7 +41,9 @@ def main():
             print(f"  {k}: {best[k]}")
 
     args = train_rvae.build_argparser().parse_args(passthrough)
-    for k in ("lr", "beta", "weight_decay"):
+    # gamma is part of the native sweep space (vacancy program); the
+    # reference sweep doesn't search it, so this is a harmless superset
+    for k in ("lr", "beta", "weight_decay", "gamma"):
         if k in best:
             setattr(args, k, float(best[k]))
     for k in ("latent_dim", "batch_size"):

@@ -208,3 +208,38 @@ def test_compare_resample_elbo_smoke(tmp_path):
     # untrained tiny nets through two numerically-equivalent resamplers:
     # the objective delta must be small even at this scale
     assert result["relative_delta"] < 0.05
+
+
+def test_with_best_consumes_vacancy_sweep_config(monkeypatch):
+    """train_rvae_with_best.py consumes the committed vacancy-sweep
+    artifact (checkpoints/best_config_vacancy.json): every searched
+    dimension — lr, beta, gamma, weight_decay, latent_dim, batch_size,
+    and the normalize choice — lands on the train_rvae args (VERDICT r2
+    item 5: the sweep result must be reachable from the retrain CLI)."""
+    cfg_path = REPO / "checkpoints" / "best_config_vacancy.json"
+    assert cfg_path.exists(), "vacancy sweep artifact missing"
+    best = json.loads(cfg_path.read_text())
+
+    monkeypatch.syspath_prepend(str(SCRIPTS))
+    import train_rvae
+    import train_rvae_with_best
+
+    captured = {}
+    monkeypatch.setattr(
+        train_rvae, "run_training", lambda args: captured.update(vars(args))
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train_rvae_with_best.py", "--config", str(cfg_path),
+         "--override-epochs", "2"],
+    )
+    train_rvae_with_best.main()
+
+    assert captured["lr"] == pytest.approx(best["lr"])
+    assert captured["beta"] == pytest.approx(best["beta"])
+    assert captured["gamma"] == pytest.approx(best["gamma"])
+    assert captured["weight_decay"] == pytest.approx(best["weight_decay"])
+    assert captured["latent_dim"] == int(best["latent_dim"])
+    assert captured["batch_size"] == int(best["batch_size"])
+    assert captured["no_per_patch_norm"] is (not best["normalize"])
+    assert captured["epochs"] == 2
