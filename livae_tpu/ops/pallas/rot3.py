@@ -47,8 +47,10 @@ def _butterfly_int(buf, k, axis, n, nbits):
     return cur
 
 
-def _lerp_shift(buf, delta, axis, n, nbits):
-    """Fractional lerp-shift of `buf` (f32) by `delta` along `axis`.
+def _lerp_shift_pair(buf, delta, axis, n, nbits):
+    """(out, q0, q1): lerp-shift of `buf` (f32) by `delta` along `axis`,
+    plus the integer-shift pair it interpolated, q0 = S_floor(delta)(buf)
+    and q1 = S_floor(delta)+1(buf).
 
     delta: [TB, 1, P]; broadcast orientation handled per axis (shift along
     W varies per row -> [TB, P, 1]; along H varies per column -> [TB, 1, P]).
@@ -60,17 +62,27 @@ def _lerp_shift(buf, delta, axis, n, nbits):
         kb, fb = k, f
     else:
         kb, fb = jnp.swapaxes(k, 1, 2), jnp.swapaxes(f, 1, 2)
-    g0 = _butterfly_int(buf, kb, axis, n, nbits)
-    g1 = pltpu.roll(g0, n - 1, axis=axis)
-    return (1.0 - fb) * g0 + fb * g1
+    q0 = _butterfly_int(buf, kb, axis, n, nbits)
+    q1 = pltpu.roll(q0, n - 1, axis=axis)
+    return (1.0 - fb) * q0 + fb * q1, q0, q1
 
 
-def _int_pair(buf, delta, axis, n, nbits):
-    """(g0, g1) = integer-shifted buf at floor(delta) and floor(delta)+1."""
-    k = jnp.mod(jnp.floor(delta).astype(jnp.int32), n)
-    kb = k if axis == 1 else jnp.swapaxes(k, 1, 2)
-    g0 = _butterfly_int(buf, kb, axis, n, nbits)
-    return g0, pltpu.roll(g0, n - 1, axis=axis)
+def _lerp_shift(buf, delta, axis, n, nbits):
+    return _lerp_shift_pair(buf, delta, axis, n, nbits)[0]
+
+
+def _adj_pair(q0, q1, fpos, axis):
+    """h1 - h0 with h0 = S_-k(g), h1 = S_-(k+1)(g), from the pair of the
+    ADJOINT lerp-shift by -delta (delta = k + f, f >= 0).
+
+    The adjoint shift's floor is m = -(k+1) when f > 0 (so q0 = h1 and
+    q1 = h0) but m = -k when f == 0 exactly (integer delta: q0 = h0, and
+    h1 needs one extra roll). `fpos` is the f > 0 mask oriented like the
+    shifted axis.
+    """
+    h0 = jnp.where(fpos, q1, q0)
+    h1 = jnp.where(fpos, q0, pltpu.roll(q0, 1, axis=axis))
+    return h1 - h0
 
 
 def _rot3_fwd_kernel(x_ref, dr_ref, dc_ref, out_ref, s, *, n, nbits):
@@ -92,34 +104,41 @@ def _rot3_bwd_kernel(
     Chain (fwd): a = Sx_dr(x); b = Sy_dc(a); y = Sx_dr(b).
     Cotangents:  gb = Sx_-dr(g); ga = Sy_-dc(gb); dx = Sx_-dr(ga).
     d/d(delta) of a lerp-shift out = (1-f) g0 + f g1 is (g1 - g0) . g,
-    summed along the shifted axis (shear.py _bwd's formulation).
+    summed along the shifted axis (shear.py _bwd's formulation). Since
+    circular shift is a permutation, sum g . S_j(b) = sum S_-j(g) . b —
+    so the integer pairs the three ADJOINT shifts already build double as
+    the delta-cotangent pairs (_adj_pair), and the bwd kernel runs 5
+    butterflies total (2 fwd recompute + 3 adjoint) instead of 8.
     """
     dr = dr_ref[:].astype(jnp.float32)
     dc = dc_ref[:].astype(jnp.float32)
     x = x_ref[:].astype(jnp.float32)
     g = g_ref[:].astype(jnp.float32)
+    # f > 0 masks of the FORWARD shifts, oriented like the shifted axes
+    fpos_r = jnp.swapaxes(dr - jnp.floor(dr), 1, 2) > 0.0  # [TB, P, 1]
+    fpos_c = (dc - jnp.floor(dc)) > 0.0                    # [TB, 1, P]
 
     s_a[:] = _lerp_shift(x, dr, 2, n, nbits)          # a
     s_b[:] = _lerp_shift(s_a[:], dc, 1, n, nbits)     # b
 
-    # stage 3 (y = Sx_dr(b)): ddr3[r] = sum_x g . (b1 - b0)
-    b0, b1 = _int_pair(s_b[:], dr, 2, n, nbits)
-    ddr = jnp.sum(g * (b1 - b0), axis=2)[:, None, :]  # [TB, 1, P]
+    # stage 3 (y = Sx_dr(b)): ddr3 = sum_x g . (b1 - b0) = sum (h1 - h0) . b
+    gb, q0, q1 = _lerp_shift_pair(g, -dr, 2, n, nbits)
+    s_g[:] = gb
+    ddr = jnp.sum(_adj_pair(q0, q1, fpos_r, 2) * s_b[:], axis=2)[:, None, :]
 
-    s_g[:] = _lerp_shift(g, -dr, 2, n, nbits)         # gb
-    # stage 2 (b = Sy_dc(a)): ddc[cu] = sum_y gb . (a1 - a0)
-    a0, a1 = _int_pair(s_a[:], dc, 1, n, nbits)
-    ddc_ref[:] = jnp.sum(s_g[:] * (a1 - a0), axis=1)[:, None, :].astype(
-        ddc_ref.dtype
-    )
+    # stage 2 (b = Sy_dc(a)): ddc = sum_y gb . (a1 - a0) = sum (h1 - h0) . a
+    ga, q0, q1 = _lerp_shift_pair(s_g[:], -dc, 1, n, nbits)
+    s_g[:] = ga
+    ddc_ref[:] = jnp.sum(
+        _adj_pair(q0, q1, fpos_c, 1) * s_a[:], axis=1
+    )[:, None, :].astype(ddc_ref.dtype)
 
-    s_g[:] = _lerp_shift(s_g[:], -dc, 1, n, nbits)    # ga
-    # stage 1 (a = Sx_dr(x)): ddr1[r] = sum_x ga . (x1 - x0)
-    x0, x1 = _int_pair(x, dr, 2, n, nbits)
-    ddr_ref[:] = (ddr + jnp.sum(s_g[:] * (x1 - x0), axis=2)[:, None, :]).astype(
-        ddr_ref.dtype
-    )
-    dx_ref[:] = _lerp_shift(s_g[:], -dr, 2, n, nbits).astype(dx_ref.dtype)
+    # stage 1 (a = Sx_dr(x)): ddr1 = sum_x ga . (x1 - x0) = sum (h1 - h0) . x
+    dx, q0, q1 = _lerp_shift_pair(s_g[:], -dr, 2, n, nbits)
+    ddr_ref[:] = (
+        ddr + jnp.sum(_adj_pair(q0, q1, fpos_r, 2) * x, axis=2)[:, None, :]
+    ).astype(ddr_ref.dtype)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
 def _tile_batch(B, H, W, n_bufs, budget=12_000_000):

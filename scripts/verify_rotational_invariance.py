@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from _common import add_data_flags, resolve_images
+from _common import add_data_flags, maybe_force_cpu, resolve_images
 
 from livae_tpu.data.datasets import AdaptiveLatticeDataset
 from livae_tpu.ops.resample import rotate_image_fast
@@ -64,7 +64,9 @@ def main():
     parser.add_argument("--top-k", type=int, default=5)
     parser.add_argument("--padding", type=int, default=16)
     parser.add_argument("--n-patches", type=int, default=32)
+    parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
+    maybe_force_cpu(args)
 
     images = resolve_images(args)
 

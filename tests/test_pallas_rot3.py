@@ -65,6 +65,36 @@ def test_fused_vjp_matches_xla_autodiff(case, rng):
     np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(gx[2]), atol=1e-3)
 
 
+def test_fused_vjp_integer_and_mixed_deltas(case, rng):
+    """Exact-integer shifts (f == 0 — e.g. theta == 0 at STN init) flip
+    the adjoint pair's ordering (floor(-d) = -k, not -(k+1)); mix integer
+    rows with fractional ones so the per-lane select is exercised."""
+    x, d_row_frac, _ = case
+    B, P = x.shape[:2]
+    w = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    d_int = jnp.asarray(rng.integers(-5, 6, (B, P)).astype(np.float32))
+    half = jnp.asarray(
+        (np.arange(P) % 2).astype(np.float32)
+    )  # alternate integer / fractional lanes
+    cases = [
+        (d_int, d_int),
+        (jnp.zeros((B, P), jnp.float32), d_int),
+        (d_int + half * 0.37, d_int),
+    ]
+    for d_row, d_col in cases:
+        gp = jax.grad(
+            lambda x, dr, dc: jnp.sum(w * rot3_pallas(x, dr, dc, True)),
+            argnums=(0, 1, 2),
+        )(x, d_row, d_col)
+        gx = jax.grad(
+            lambda x, dr, dc: jnp.sum(w * _xla_rot3(x, dr, dc)),
+            argnums=(0, 1, 2),
+        )(x, d_row, d_col)
+        np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(gx[2]), atol=1e-3)
+
+
 def test_rotate_image_fast_pallas_backend_uses_rot3(rng):
     """rotate_image_fast(backend=pallas) in interpret == the XLA backend."""
     import livae_tpu.ops.pallas.rot3 as rot3mod
