@@ -123,9 +123,12 @@ def main(args):
         float(v)  # host readback: the only sync the axon tunnel honors
 
     rows = _collect_op_stats(logdir)
+    if args.debug_cols and rows:
+        print("columns:", sorted(rows[0]))
     agg: dict[str, float] = {}
     cat_agg: dict[str, float] = {}
     bound: dict[str, str] = {}
+    expr: dict[str, str] = {}
     total_us = 0.0
     for r in rows:
         name = str(r.get("hlo_op_name") or "?")
@@ -134,6 +137,9 @@ def main(args):
         agg[name] = agg.get(name, 0.0) + t
         cat_agg[cat] = cat_agg.get(cat, 0.0) + t
         bound[name] = str(r.get("bound_by") or "")
+        e = r.get("hlo_op_expression") or r.get("expression") or ""
+        if e:
+            expr[name] = str(e)
         total_us += t
 
     n_pat = B * args.reps
@@ -147,6 +153,8 @@ def main(args):
             f"  {t / n_pat:8.3f} us/p  {100 * t / max(total_us, 1e-9):5.1f}%  "
             f"[{bound.get(name, ''):>9}]  {name[:100]}"
         )
+        if args.expr and name in expr:
+            print(f"      {expr[name][: args.expr]}")
 
 
 if __name__ == "__main__":
@@ -160,6 +168,11 @@ if __name__ == "__main__":
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--stage", choices=["fwd", "grad"], default="grad")
     p.add_argument("--logdir", default=None)
+    p.add_argument(
+        "--expr", type=int, default=0,
+        help="Print up to N chars of each top op's HLO expression",
+    )
+    p.add_argument("--debug-cols", action="store_true")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     maybe_force_cpu(args)
