@@ -215,48 +215,85 @@ def _phase_gather_5to3(k5: jax.Array) -> jax.Array:
     return kk.reshape(3, 3, 4 * Cin, 4 * Cout)
 
 
-@jax.custom_vjp
-def _phase_max4(y0, y1, y2, y3):
-    """max(y0, y1, y2, y3) elementwise, with a traffic-minimal VJP.
+def _pconv(xs: jax.Array, k: jax.Array) -> jax.Array:
+    """The phase conv: [B, n, m, 4Cin] x [3, 3, 4Cin, 4Cout], pad 1."""
+    return jax.lax.conv_general_dilated(
+        xs, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
-    Autodiff of either jnp.max-over-axis or a maximum tree spends the
-    localization backward on tie-splitting arithmetic: equality preds,
-    0.5x halving, and per-node mask tensors, several of them materialized
-    at [2B, H/2, W/2, C] (measured ~14 us/patch via scripts/trace_ops.py).
-    The custom VJP recomputes the three comparisons from the saved inputs
-    and routes the whole cotangent to the FIRST maximal phase — torch
-    MaxPool2d's tie convention (indices scan the window row-major and the
-    first max wins), which autodiff's even tie-splitting did NOT match.
-    Ties between distinct conv outputs are measure-zero in training
-    practice; the win is one select chain instead of the divide/multiply
-    mask fest.
+
+def _routed_pmax(yb: jax.Array, g: jax.Array, Cout: int):
+    """(max over phase blocks, cotangent routed to the FIRST maximal phase).
+
+    Torch MaxPool2d's tie convention (indices scan the window row-major,
+    first max wins) — which autodiff's even tie-splitting did NOT match;
+    with bf16 compute, relu-floor ties are common, and first-wins is also
+    what made training bit-deterministic across process boundaries (the
+    resume gate in tests/test_scripts.py). Pass g=None for forward only.
     """
-    return jnp.maximum(jnp.maximum(y0, y1), jnp.maximum(y2, y3))
-
-
-def _phase_max4_fwd(y0, y1, y2, y3):
-    return _phase_max4(y0, y1, y2, y3), (y0, y1, y2, y3)
-
-
-def _phase_max4_bwd(res, g):
-    y0, y1, y2, y3 = res
+    y0 = yb[..., :Cout]
+    y1 = yb[..., Cout : 2 * Cout]
+    y2 = yb[..., 2 * Cout : 3 * Cout]
+    y3 = yb[..., 3 * Cout :]
     m01 = jnp.maximum(y0, y1)
     m23 = jnp.maximum(y2, y3)
+    out = jnp.maximum(m01, m23)
+    if g is None:
+        return out, None
     zero = jnp.zeros((), g.dtype)
-    left = m01 >= m23  # ties go left (earlier phase) — torch convention
+    left = m01 >= m23  # ties go left (earlier phase)
     g01 = jnp.where(left, g, zero)
     g23 = jnp.where(left, zero, g)
     first0 = y0 >= y1
     first2 = y2 >= y3
-    return (
-        jnp.where(first0, g01, zero),
-        jnp.where(first0, zero, g01),
-        jnp.where(first2, g23, zero),
-        jnp.where(first2, zero, g23),
+    d = jnp.concatenate(
+        [
+            jnp.where(first0, g01, zero),
+            jnp.where(first0, zero, g01),
+            jnp.where(first2, g23, zero),
+            jnp.where(first2, zero, g23),
+        ],
+        axis=-1,
     )
+    return out, d
 
 
-_phase_max4.defvjp(_phase_max4_fwd, _phase_max4_bwd)
+@jax.custom_vjp
+def _conv_relu_pmax(xs, k, b4):
+    """max-over-phases(relu(conv(xs, k) + b4)) with a recompute VJP.
+
+    Autodiff of the conv -> bias -> relu -> phase-max chain saves the
+    four post-relu phase tensors ([2B, H/2, W/2, 4Cout]) as residuals and
+    lowers the max/relu backward into half a dozen separate mask/select
+    fusions (measured ~12 us/patch total via scripts/trace_ops.py). This
+    custom VJP saves ONLY (xs, k, b4), recomputes the conv forward in the
+    backward pass (one extra MXU pass — the phase convs are the model's
+    cheapest FLOPs-per-byte work), routes the pool cotangent first-wins
+    (_routed_pmax), replays relu's own VJP rule, and feeds the conv VJP
+    primitives unchanged — one fused routing kernel instead of the mask
+    fest, and no phase-tensor residual round-trip.
+    """
+    yb = jax.nn.relu(_pconv(xs, k) + b4)
+    return _routed_pmax(yb, None, k.shape[-1] // 4)[0]
+
+
+def _crp_fwd(xs, k, b4):
+    return _conv_relu_pmax(xs, k, b4), (xs, k, b4)
+
+
+def _crp_bwd(res, g):
+    xs, k, b4 = res
+    conv_out, conv_vjp = jax.vjp(_pconv, xs, k)
+    y = conv_out + b4
+    yb, relu_vjp = jax.vjp(jax.nn.relu, y)
+    _, d_yb = _routed_pmax(yb, g, k.shape[-1] // 4)
+    (d_y,) = relu_vjp(d_yb)  # JAX's own relu rule (0.5 split at y == 0)
+    d_xs, d_k = conv_vjp(d_y)
+    return d_xs, d_k, jnp.sum(d_y, axis=(0, 1, 2))
+
+
+_conv_relu_pmax.defvjp(_crp_fwd, _crp_bwd)
 
 
 def fused_conv5_relu_maxpool(x: jax.Array, k5: jax.Array, b: jax.Array) -> jax.Array:
@@ -265,26 +302,6 @@ def fused_conv5_relu_maxpool(x: jax.Array, k5: jax.Array, b: jax.Array) -> jax.A
     x: [B, H, W, Cin]; k5: [5, 5, Cin, Cout]; b: [Cout].
     Returns [B, H/2, W/2, Cout] computed entirely at half resolution.
     """
-    B, H, W, Cin = x.shape
-    Cout = k5.shape[-1]
     xs = _space_to_depth2(x)  # [B, H/2, W/2, 4Cin]
     k = _phase_gather_5to3(k5)
-    y = jax.lax.conv_general_dilated(
-        xs, k, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    # Phase max over the (phase-major) channel blocks via _phase_max4
-    # rather than jnp.max over a reshaped [..., 4, Cout] axis: the values
-    # are identical (max is associative; relu+bias are per-channel), but
-    # the axis-max VJP materializes broadcast/compare/tie-divide tensors
-    # at 4x the pooled size ([2B, H/2, W/2, 4, Cout] — the single most
-    # HBM-hungry region of the train step per scripts/trace_ops.py), while
-    # _phase_max4's custom VJP recomputes three comparisons and routes the
-    # cotangent first-wins (see its note on tie semantics).
-    yb = jax.nn.relu(y + jnp.tile(b, 4))
-    return _phase_max4(
-        yb[..., :Cout],
-        yb[..., Cout : 2 * Cout],
-        yb[..., 2 * Cout : 3 * Cout],
-        yb[..., 3 * Cout :],
-    )
+    return _conv_relu_pmax(xs, k, jnp.tile(b, 4))
