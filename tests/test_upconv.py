@@ -99,6 +99,29 @@ class TestFusedConvPool:
         for a, c in zip(g_ref, g_fus):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=3e-5, rtol=1e-4)
 
+    def test_tie_gradient_first_wins(self):
+        """Exact pool ties route the WHOLE cotangent to the first maximal
+        phase (torch MaxPool2d's convention) — not autodiff's even split.
+
+        Resume-determinism rests on this being a fixed select chain: bf16
+        relu floors make ties common in production. A constant input makes
+        every phase output identical, so d/dx must be the pure first-phase
+        adjoint: each 2x2 input block receives gradient at exactly one
+        position (the phase-0 tap pattern), never 0.25 everywhere.
+        """
+        from livae_tpu.ops.upconv import fused_conv5_relu_maxpool
+
+        x = jnp.ones((1, 8, 8, 1), jnp.float32)
+        k = jnp.zeros((5, 5, 1, 1), jnp.float32).at[2, 2, 0, 0].set(1.0)
+        b = jnp.zeros((1,), jnp.float32)
+        # out = maxpool(relu(x)) = 1 everywhere; all four phases tie.
+        g = jax.grad(lambda x: jnp.sum(fused_conv5_relu_maxpool(x, k, b)))(x)
+        g = np.asarray(g)[0, :, :, 0]
+        # phase 0 = even rows/cols (the first window position, row-major)
+        expect = np.zeros((8, 8), np.float32)
+        expect[0::2, 0::2] = 1.0
+        np.testing.assert_array_equal(g, expect)
+
 
 def test_fused_gradients_match():
     rng = np.random.default_rng(0)
