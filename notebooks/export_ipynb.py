@@ -65,7 +65,7 @@ def convert(py_path: Path) -> Path:
 
 if __name__ == "__main__":
     here = Path(__file__).resolve().parent
-    targets = [here / "explore_data_structure.py", here / "dataset.py"]
+    targets = sorted(p for p in here.glob("*.py") if p.name != "export_ipynb.py")
     for t in targets:
         if not t.exists():
             sys.exit(f"missing notebook source: {t}")

@@ -1,0 +1,106 @@
+# %% [markdown]
+# # Vacancy discovery: sweep → seeded arbitration → retrain
+#
+# The repo's worked example of its open scientific question: find S-vacancy
+# structure in the latent space of an rVAE trained on low-contrast MoS₂
+# frames. No reference-notebook counterpart (the reference drives this
+# through Ray Tune alone); this walks the native workflow end to end using
+# the committed round-3 artifacts:
+#
+# 1. `scripts/train_rvae_raytune.py` — TPE+ASHA sweep over
+#    (β, γ, lr, latent_dim, weight_decay, ±per-patch-norm) on the vacancy
+#    regime → `ray_results/vacancy_sweep_r3/results.json`
+# 2. `scripts/accuracy_program.py --configs-json --top-k 3 --seeds 3` —
+#    re-train the top-k by val_loss with multiple seeds and score what
+#    val_loss cannot see (clustering ARI, linear probe, vacancy AUC,
+#    rot90 invariance) → `accuracy_sweep_top3.json`
+# 3. `scripts/train_rvae_with_best.py --config
+#    checkpoints/best_config_vacancy.json` — retrain the arbitrated winner.
+#
+# Key findings this notebook reproduces from the artifacts (see BASELINE.md
+# "Sweep engine vs hand grid on the vacancy problem"):
+# * every top sweep trial independently chose per-patch normalization OFF;
+# * val_loss rank anti-correlates with latent quality (the val_loss winner
+#   is a collapsed-but-invariant net);
+# * low cycle weight (γ=1) gives the most reliable vacancy clustering
+#   (ARI 0.924±0.005) at the cost of strict rotation invariance.
+
+# %%
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import matplotlib.pyplot as plt
+import numpy as np
+
+# %% 1. The sweep artifact: 24 trials, ASHA-pruned, val_loss trajectory
+results = json.loads((REPO / "ray_results/vacancy_sweep_r3/results.json").read_text())
+done = [t for t in results if t.get("status") == "done"]
+pruned = [t for t in results if t.get("status") == "stopped"]
+print(f"{len(done)} trials ran to 30 epochs, {len(pruned)} ASHA-pruned")
+
+plt.figure(figsize=(8, 4))
+for t in results:
+    h = t.get("history", [])
+    xs = [r["epoch"] for r in h]
+    ys = [r["val_loss"] for r in h]
+    norm = t["config"]["normalize"]
+    plt.plot(xs, ys, alpha=0.6, lw=1.2, c="tab:orange" if norm else "tab:blue")
+plt.yscale("log")
+plt.xlabel("epoch")
+plt.ylabel("val loss (log; NOT comparable across norm choice)")
+plt.title("Sweep trials — blue: per-patch norm OFF, orange: ON")
+plt.tight_layout()
+
+# %% [markdown]
+# The val-loss scales differ between normalize choices (different target
+# ranges), which is exactly why step 2 exists: selection must happen on
+# task metrics, not the objective.
+
+# %% 2. Seeded arbitration of the top-3
+top3 = json.loads((REPO / "accuracy_sweep_top3.json.summary.json").read_text())
+cols = ("kmeans_ari", "linear_accuracy", "vacancy_auc", "rot90_mu_cosine")
+print(f"{'rank':>4} {'beta':>6} {'gamma':>6} {'ld':>3} " + " ".join(f"{c:>22}" for c in cols))
+for i, row in enumerate(top3):
+    stats = " ".join(
+        f"{row[c + '_mean']:.3f}±{row[c + '_std']:.3f}".rjust(22) for c in cols
+    )
+    print(f"{i + 1:>4} {row['beta']:6.2f} {row['gamma']:6.2f} {row['latent_dim']:>3} {stats}")
+
+# %%
+fig, ax = plt.subplots(figsize=(6, 4))
+x = np.arange(len(top3))
+for off, c in zip((-0.2, 0.0, 0.2), ("kmeans_ari", "vacancy_auc", "rot90_mu_cosine")):
+    ax.bar(
+        x + off,
+        [r[c + "_mean"] for r in top3],
+        yerr=[r[c + "_std"] for r in top3],
+        width=0.2,
+        label=c,
+    )
+ax.set_xticks(x, [f"#{i + 1} (val_loss rank)" for i in x])
+ax.set_ylim(0, 1.05)
+ax.legend()
+ax.set_title("val_loss rank vs what actually matters (3 seeds each)")
+plt.tight_layout()
+
+# %% [markdown]
+# Rank #1 by val_loss has ARI 0.08 — near-perfect "invariance" because its
+# latent collapsed. Rank #3 (γ=1) clusters vacancies reliably (σ=0.005)
+# but gives up strict rot90 cosine. The committed arbitration therefore
+# picks #3:
+
+# %% 3. The arbitrated config the retrain CLI consumes
+best = json.loads((REPO / "checkpoints/best_config_vacancy.json").read_text())
+print(json.dumps(best, indent=2))
+print(
+    "\nretrain: python scripts/train_rvae_with_best.py "
+    "--config checkpoints/best_config_vacancy.json"
+)
+# On a TPU v5e chip this retrains in ~105 s (30 epochs, ~9.2k patches/s);
+# visualizations.py / verify_rotational_invariance.py then read the
+# normalize flag back from the checkpoint args, so analysis encodes
+# exactly the way training did.
