@@ -43,11 +43,44 @@ VAL_BATCHES = 2
 ENCODE_STEPS = 12
 
 
+def _arm_watchdog(seconds: int = 2400) -> None:
+    """Emit an explicit error JSON instead of hanging the harness.
+
+    The tunneled TPU backend can become UNAVAILABLE in a way that makes
+    device initialization (and any first compile) block indefinitely
+    rather than raise. SIGALRM turns that into one parseable stdout line
+    so whatever runs bench.py records a failure, not a timeout.
+    """
+    import os
+    import signal
+
+    def _fire(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "rvae_train_encode_patches_per_sec_per_chip_sustained",
+                    "value": 0.0,
+                    "unit": "patches/sec",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU backend unresponsive for {seconds}s (tunnel down?)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+
+
 def main() -> None:
     import contextlib
+    import signal
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    _arm_watchdog()
 
 
     from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset
@@ -108,6 +141,7 @@ def main() -> None:
     # warmup/compile with the exact shapes used in the timed region
     state, m = epoch(state, 0)
     assert np.isfinite(m["train_loss"])
+    signal.alarm(0)  # device is live and compiled; disarm the watchdog
 
     t0 = time.time()
     for e in range(EPOCHS):
