@@ -43,18 +43,22 @@ VAL_BATCHES = 2
 ENCODE_STEPS = 12
 
 
-def _arm_watchdog(seconds: int = 2400) -> None:
+def _arm_watchdog(seconds: int = 2400):
     """Emit an explicit error JSON instead of hanging the harness.
 
     The tunneled TPU backend can become UNAVAILABLE in a way that makes
     device initialization (and any first compile) block indefinitely
-    rather than raise. SIGALRM turns that into one parseable stdout line
-    so whatever runs bench.py records a failure, not a timeout.
+    rather than raise. A daemon TIMER THREAD (not SIGALRM: Python signal
+    handlers only run between bytecodes on the main thread, so a hang
+    inside one non-returning C call — exactly this failure — would defer
+    the handler forever) prints one parseable stdout line and hard-exits,
+    so whatever runs bench.py records a failure, not a timeout. Returns
+    the timer; call .cancel() once the device has proven live.
     """
     import os
-    import signal
+    import threading
 
-    def _fire(signum, frame):
+    def _fire():
         print(
             json.dumps(
                 {
@@ -69,18 +73,19 @@ def _arm_watchdog(seconds: int = 2400) -> None:
         )
         os._exit(2)
 
-    signal.signal(signal.SIGALRM, _fire)
-    signal.alarm(seconds)
+    timer = threading.Timer(seconds, _fire)
+    timer.daemon = True
+    timer.start()
+    return timer
 
 
 def main() -> None:
     import contextlib
-    import signal
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    _arm_watchdog()
+    watchdog = _arm_watchdog()
 
 
     from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset
@@ -141,7 +146,7 @@ def main() -> None:
     # warmup/compile with the exact shapes used in the timed region
     state, m = epoch(state, 0)
     assert np.isfinite(m["train_loss"])
-    signal.alarm(0)  # device is live and compiled; disarm the watchdog
+    watchdog.cancel()  # device is live and compiled; disarm the watchdog
 
     t0 = time.time()
     for e in range(EPOCHS):

@@ -165,13 +165,28 @@ def _axis_resample(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
 
 
 def _crop_starts(
-    cy: jax.Array, cx: jax.Array, roi: int, margin: int
+    cy: jax.Array,
+    cx: jax.Array,
+    roi: int,
+    margin: int,
+    padded_shape: tuple[int, int] | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Integer crop origins (in padded-frame coords) + sub-pixel residuals."""
+    """Integer crop origins (in padded-frame coords) + sub-pixel residuals.
+
+    When `padded_shape` (Hp, Wp) is given, origins are clamped to the
+    valid slice range [0, dim - roi] — exactly what `dynamic_slice` does
+    internally — so the row-gather backend cannot read across a frame
+    boundary even for contract-violating coordinates (the pad margin
+    normally guarantees in-bounds crops). The sub-pixel residuals stay
+    derived from the UNclamped origin, matching dynamic_slice semantics.
+    """
     y_int = jnp.round(cy).astype(jnp.int32)
     x_int = jnp.round(cx).astype(jnp.int32)
     y0 = y_int - roi // 2 + margin
     x0 = x_int - roi // 2 + margin
+    if padded_shape is not None:
+        y0 = jnp.clip(y0, 0, padded_shape[0] - roi)
+        x0 = jnp.clip(x0, 0, padded_shape[1] - roi)
     ry = cy - (y_int - roi // 2).astype(cy.dtype)
     rx = cx - (x_int - roi // 2).astype(cx.dtype)
     return y0, x0, ry, rx
@@ -248,7 +263,9 @@ def _crop_rois(
     in bounds (guaranteed by pad_frames' margin — the reference's
     zero-padding of edge ROIs, src/livae/data.py:506-522).
     """
-    y0, x0, ry, rx = _crop_starts(cy, cx, roi, margin)
+    y0, x0, ry, rx = _crop_starts(
+        cy, cx, roi, margin, padded_shape=frames_padded.shape[1:3]
+    )
     if jax.default_backend() == "tpu":
         rois = _crop_rois_rowgather(frames_padded, img_idx, y0, x0, roi)
     else:

@@ -288,7 +288,7 @@ def _crp_bwd(res, g):
     y = conv_out + b4
     yb, relu_vjp = jax.vjp(jax.nn.relu, y)
     _, d_yb = _routed_pmax(yb, g, k.shape[-1] // 4)
-    (d_y,) = relu_vjp(d_yb)  # JAX's own relu rule (0.5 split at y == 0)
+    (d_y,) = relu_vjp(d_yb)  # JAX's own relu rule (zero gradient at y == 0)
     d_xs, d_k = conv_vjp(d_y)
     return d_xs, d_k, jnp.sum(d_y, axis=(0, 1, 2))
 

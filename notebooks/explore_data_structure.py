@@ -15,7 +15,13 @@
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+# __file__ exists when run as a script; Jupyter kernels don't define it
+_REPO = (
+    Path(__file__).resolve().parent.parent
+    if "__file__" in globals()
+    else (Path.cwd().parent if Path.cwd().name == "notebooks" else Path.cwd())
+)
+sys.path.insert(0, str(_REPO))
 
 import h5py
 import matplotlib.pyplot as plt

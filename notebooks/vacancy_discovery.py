@@ -30,7 +30,12 @@ import json
 import sys
 from pathlib import Path
 
-REPO = Path(__file__).resolve().parent.parent
+# __file__ exists when run as a script; Jupyter kernels don't define it
+REPO = (
+    Path(__file__).resolve().parent.parent
+    if "__file__" in globals()
+    else (Path.cwd().parent if Path.cwd().name == "notebooks" else Path.cwd())
+)
 sys.path.insert(0, str(REPO))
 
 import matplotlib.pyplot as plt

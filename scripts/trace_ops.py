@@ -164,7 +164,10 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--latent-dim", type=int, default=16)
     p.add_argument("--frame-size", type=int, default=1024)
-    p.add_argument("--reps", type=int, default=10)
+    p.add_argument(
+        "--reps", type=lambda s: max(1, int(s)), default=10,
+        help="Traced steps (min 1 — the trace needs at least one step)",
+    )
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--stage", choices=["fwd", "grad"], default="grad")
     p.add_argument("--logdir", default=None)

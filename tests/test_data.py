@@ -138,10 +138,21 @@ class TestExtraction:
         img_idx = jnp.asarray(rng.integers(0, N, B), jnp.int32)
         cy = jnp.asarray(rng.uniform(roi / 2, H - roi / 2, B).astype(np.float32))
         cx = jnp.asarray(rng.uniform(roi / 2, W - roi / 2, B).astype(np.float32))
-        y0, x0, _, _ = _crop_starts(cy, cx, roi, margin)
+        # contract-violating coordinates (beyond what the pad margin
+        # guarantees): origin clamping must keep both backends identical
+        # and in the RIGHT frame, mirroring dynamic_slice's clamp
+        cy = cy.at[0].set(-2.0 * margin).at[1].set(H + 2.0 * margin)
+        cx = cx.at[2].set(-2.0 * margin).at[3].set(W + 2.0 * margin)
+        y0, x0, _, _ = _crop_starts(
+            cy, cx, roi, margin, padded_shape=frames.shape[1:3]
+        )
         a = _crop_rois_slice(frames, img_idx, y0, x0, roi)
         b = _crop_rois_rowgather(frames, img_idx, y0, x0, roi)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the clamped OOB crops equal in-frame corner crops of their OWN frame
+        np.testing.assert_array_equal(
+            np.asarray(b[0]), np.asarray(frames[int(img_idx[0]), :roi])[:, int(x0[0]) : int(x0[0]) + roi]
+        )
 
     def test_normalization(self):
         frame = np.random.default_rng(0).random((128, 128)).astype(np.float32) * 7 + 3
