@@ -106,6 +106,7 @@ def main(args):
         x, x_rot, angle = extract_batch_paired(
             env["frames"], env["img_idx"][idx], env["coords"][idx], k,
             P, padding, cfg=cfg, margin=margin,
+            rot_dtype=model.compute_dtype,  # production engine setting
         )
         if args.stage == "fwd":
             return loss_fn(params, x, x_rot, angle, k)
