@@ -128,6 +128,10 @@ def _axis_resample_matmul(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
     W = w0[..., None] * (i0c[..., None] == iota) + w1[..., None] * (
         i1c[..., None] == iota
     )  # [B, n_out, n] f32
+    # dot_general rejects mixed operand dtypes; promote non-f32 frames the
+    # same way the gather backend's w*x products would (bf16*f32 -> f32).
+    if x.dtype != W.dtype:
+        x = x.astype(W.dtype)
     if axis == 1:
         # [B, n_out, n] . [B, n, W] -> [B, n_out, W]
         return jax.lax.dot_general(

@@ -158,6 +158,19 @@ def _tile_batch(B, H, W, n_bufs, budget=12_000_000):
     return TB
 
 
+def rot3_fits_vmem(H: int, W: int) -> bool:
+    """Whether the fused kernels compile within the scoped-VMEM budget.
+
+    The backward kernel is the constraint (~20 concurrent f32 tile
+    buffers, see _rot3_bwd_impl); below TB=1 there is nothing left to
+    shrink and pallas_call fails at compile, so callers must fall back
+    to the XLA shear path (canvases around 448+ at f32).
+    """
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 128) * 128
+    return Hp * Wp * 4 * 20 <= 12_000_000
+
+
 def _rot3_fwd_impl(x, d_row, d_col, interpret=False):
     B, H, W = x.shape
     assert H == W, "rot3 requires a square canvas"

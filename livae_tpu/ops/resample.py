@@ -344,9 +344,12 @@ def rotate_image_fast(
     rows = (jnp.arange(P, dtype=jnp.float32) - c)[None, :, None, None]  # [1,P,1,1]
     cols = (jnp.arange(P, dtype=jnp.float32) - c)[None, None, :, None]  # [1,1,P,1]
 
-    if _use_pallas_backend(backend) and C == 1:
-        from .pallas.rot3 import rot3_pallas
+    from .pallas.rot3 import rot3_fits_vmem, rot3_pallas
 
+    # Canvases around 448+ overflow the backward kernel's scoped-VMEM
+    # budget even at TB=1 (pallas_call would fail at compile); fall back
+    # to the arithmetic-identical XLA branch rather than erroring.
+    if _use_pallas_backend(backend) and C == 1 and rot3_fits_vmem(P, P):
         x2 = img[..., 0]  # [B, P, P]
         d_row = (alpha * rows)[:, :, 0, 0]  # [B, P] per-row shift (along W)
         d_col = (beta * cols)[:, 0, :, 0]  # [B, P] per-col shift (along H)

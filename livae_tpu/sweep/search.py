@@ -582,7 +582,10 @@ def _run_processes(
         trial = Trial(trial_id=len(trials), config=config, status="running")
         trials.append(trial)
         parent_conn, child_conn = ctx.Pipe()
-        env = trial_env(slot) if trial_env else {}
+        # Deterministic trial identity for the child (seed/ckpt naming):
+        # pids are not reproducible across runs and can collide on reuse.
+        env = dict(trial_env(slot)) if trial_env else {}
+        env.setdefault("LIVAE_TRIAL_ID", str(trial.trial_id))
         proc = ctx.Process(
             target=_process_trial_entry,
             args=(child_conn, trainable, dict(config), env),

@@ -36,6 +36,19 @@ import numpy as np
 from _common import maybe_force_cpu
 
 
+def sweep_row_rank(row: dict):
+    """Sort key for --configs-json top-k selection.
+
+    Completed trials genuinely rank first: an ASHA-pruned trial's
+    early-epoch val_loss is not comparable to a completed trial's, so
+    status outranks the loss value; rows without val_loss sort last.
+    """
+    return (
+        row.get("status", "done") != "done",
+        row.get("val_loss") if row.get("val_loss") is not None else float("inf"),
+    )
+
+
 def site_truth_labels(sites, truth, tol_frac: float = 0.35):
     """Match dataset sites to ground-truth Mo(0)/S(1)/vacancy(2) classes.
 
@@ -317,12 +330,7 @@ def main(args):
             raw = [raw]
         # sweep results.json rows carry val_loss: score the top-k by it
         # (completed trials first); a bare best_config.json has neither
-        raw = sorted(
-            raw,
-            key=lambda r: (
-                r.get("val_loss") if r.get("val_loss") is not None else float("inf")
-            ),
-        )
+        raw = sorted(raw, key=sweep_row_rank)
         configs = []
         for row in raw[: args.top_k]:
             c = row.get("config", row)

@@ -71,7 +71,11 @@ def main():
     parser.add_argument("--latent-dim", type=int, default=16)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--iters", type=int, default=100)
+    parser.add_argument("--cpu", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args()
+    from _common import maybe_force_cpu
+
+    maybe_force_cpu(args)
 
     P, L, B = args.patch_size, args.latent_dim, args.batch_size
     x = jnp.asarray(np.random.default_rng(0).random((B, P, P, 1), dtype=np.float32))

@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-from _common import add_data_flags, resolve_images
+from _common import add_data_flags, maybe_force_cpu, resolve_images
 
 from livae_tpu.data.datasets import AdaptiveLatticeDataset
 from visualizations import (
@@ -34,7 +34,9 @@ def main():
     parser.add_argument(
         "--out", type=str, default="runs/plots/embedding_by_image3.png"
     )
+    parser.add_argument("--cpu", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args()
+    maybe_force_cpu(args)
 
     model, params, is_rvae, latent_dim, patch_size, payload = load_model_from_checkpoint(
         args.checkpoint, "rvae"

@@ -17,7 +17,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from _common import add_data_flags, batched, resolve_images, split_indices
+from _common import (
+    add_data_flags,
+    batched,
+    maybe_force_cpu,
+    resolve_images,
+    split_indices,
+)
 
 from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset, default_transform
 from livae_tpu.losses import cycle_consistency_loss
@@ -28,6 +34,7 @@ from livae_tpu.utils.checkpoint import params_to_torch_state, save_checkpoint, s
 
 
 def run_pretrain(args) -> dict:
+    maybe_force_cpu(args)
     images = resolve_images(args)
     dataset = PairedAdaptiveLatticeDataset(
         images, patch_size=args.patch_size, padding=args.padding,
@@ -130,6 +137,7 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--num-workers", type=int, default=8, help=argparse.SUPPRESS)
     parser.add_argument("--prefetch-factor", type=int, default=4, help=argparse.SUPPRESS)
+    parser.add_argument("--cpu", action="store_true", help=argparse.SUPPRESS)
     return parser
 
 

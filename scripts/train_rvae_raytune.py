@@ -286,9 +286,12 @@ def process_trainable(data_spec, config, report):
     )
     ckpt_dir = Path(data_spec["ckpt_dir"])
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    ckpt_path = str(ckpt_dir / f"trial_pid{os.getpid()}.pt")
+    # The executor exports a deterministic trial id (search.py launch());
+    # pid-based naming was irreproducible across runs and collides on reuse.
+    trial_id = int(os.environ.get("LIVAE_TRIAL_ID", os.getpid()))
+    ckpt_path = str(ckpt_dir / f"trial_{trial_id}.pt")
     _trial_body(
-        config, report, dataset, compiled, ckpt_path, trial_seed=os.getpid(),
+        config, report, dataset, compiled, ckpt_path, trial_seed=trial_id,
         extra_metrics={
             "slot": os.environ.get("LIVAE_SWEEP_SLOT", ""),
             "pid": os.getpid(),

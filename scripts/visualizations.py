@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from _common import add_data_flags, batched, resolve_images
+from _common import add_data_flags, batched, maybe_force_cpu, resolve_images
 
 from livae_tpu.data.datasets import AdaptiveLatticeDataset
 from livae_tpu.models.rvae import RVAE
@@ -74,10 +74,15 @@ def checkpoint_normalize(payload) -> bool:
     """Per-patch-norm semantics the checkpoint was trained with.
 
     train_rvae/train_vae persist --no-per-patch-norm in the saved args;
-    encoding with mismatched normalization is a train/eval distribution
+    sweep-trial checkpoints (train_rvae_raytune._trial_body saves
+    args=config) carry the same semantics as a direct 'normalize' bool.
+    Encoding with mismatched normalization is a train/eval distribution
     mismatch, so every analysis script builds its dataset through this.
     """
-    return not payload.get("args", {}).get("no_per_patch_norm", False)
+    args = payload.get("args", {})
+    if "normalize" in args:
+        return bool(args["normalize"])
+    return not args.get("no_per_patch_norm", False)
 
 
 def collect_stats(model, params, dataset, batch_size: int, is_rvae: bool):
@@ -283,7 +288,9 @@ def main():
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--n-clusters", type=int, default=3)
     parser.add_argument("--plots-dir", type=str, default="plots")
+    parser.add_argument("--cpu", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args()
+    maybe_force_cpu(args)
 
     force = "rvae" if args.rvae else ("vae" if args.vae else None)
     model, params, is_rvae, latent_dim, patch_size, payload = load_model_from_checkpoint(

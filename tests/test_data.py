@@ -120,6 +120,28 @@ class TestExtraction:
                 np.asarray(g), np.asarray(m), rtol=0.0, atol=2.4e-7
             )
 
+    def test_axis_resample_matmul_accepts_bf16(self):
+        """dot_general rejects mixed operand dtypes: the matmul backend must
+        promote non-f32 frames itself (the gather backend's w*x products do
+        so implicitly), matching the gather result after promotion."""
+        from livae_tpu.data.pipeline import (
+            _axis_resample_gather,
+            _axis_resample_matmul,
+        )
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.random((4, 32, 32), dtype=np.float32)).astype(
+            jnp.bfloat16
+        )
+        src = jnp.asarray(rng.uniform(-1.0, 33.0, (4, 24)).astype(np.float32))
+        for axis in (1, 2):
+            g = _axis_resample_gather(x, src, axis)
+            m = _axis_resample_matmul(x, src, axis)
+            assert m.dtype == jnp.float32  # promoted like the gather path
+            np.testing.assert_allclose(
+                np.asarray(g, np.float32), np.asarray(m), rtol=0.0, atol=2e-7
+            )
+
     def test_crop_backends_agree(self):
         """The row-gather + 0/1-matmul crop must reproduce the
         dynamic_slice crop bit-exactly (the selector has one 1 per row and

@@ -188,6 +188,32 @@ class TestFastRotation:
         f = np.asarray(rotate_image_fast(imgs, t90, "reflection"))
         np.testing.assert_allclose(f, e, atol=1e-5)
 
+    def test_pallas_backend_falls_back_above_vmem_budget(self, rng):
+        """Canvases around 448+ overflow the rot3 backward kernel's
+        scoped-VMEM budget even at TB=1; rotate_image_fast must dispatch
+        the XLA shear branch instead of letting pallas_call fail at
+        compile. (backend="pallas" on this CPU suite would error if the
+        kernel were actually launched, so success proves the fallback.)"""
+        import jax.numpy as jnp
+        from livae_tpu.ops.pallas.rot3 import rot3_fits_vmem
+        from livae_tpu.ops.resample import rotate_image_fast
+
+        assert rot3_fits_vmem(256, 256)  # production canvases stay fused
+        assert rot3_fits_vmem(384, 384)
+        assert not rot3_fits_vmem(448, 448)
+        assert not rot3_fits_vmem(512, 512)
+
+        imgs = jnp.asarray(rng.random((2, 64, 64, 1)).astype(np.float32))
+        thetas = jnp.asarray(np.array([0.4, -1.1], dtype=np.float32))
+        # margin=192 -> canvas P=448: beyond the budget at TB=1
+        out_p = rotate_image_fast(
+            imgs, thetas, "reflection", margin=192, backend="pallas"
+        )
+        out_x = rotate_image_fast(
+            imgs, thetas, "reflection", margin=192, backend="xla"
+        )
+        np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
+
     def test_gradients_match_exact(self, rng):
         import jax
         import jax.numpy as jnp

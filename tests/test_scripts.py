@@ -27,6 +27,46 @@ def _run(args, timeout=600):
     )
 
 
+def test_checkpoint_normalize_honors_sweep_args():
+    """Sweep-trial checkpoints (saved with args=config) carry normalization
+    as an explicit 'normalize' bool; the trainer CLIs persist
+    'no_per_patch_norm'. The loader must honor both, 'normalize' first —
+    otherwise a no-norm sweep checkpoint silently encodes with per-patch
+    norm ON (the exact train/eval mismatch this helper exists to stop)."""
+    sys.path.insert(0, str(SCRIPTS))
+    try:
+        from visualizations import checkpoint_normalize
+
+        assert checkpoint_normalize({"args": {"normalize": False}}) is False
+        assert checkpoint_normalize({"args": {"normalize": True}}) is True
+        assert checkpoint_normalize({"args": {"no_per_patch_norm": True}}) is False
+        assert checkpoint_normalize({"args": {"no_per_patch_norm": False}}) is True
+        assert checkpoint_normalize({"args": {}}) is True
+        assert checkpoint_normalize({}) is True
+    finally:
+        sys.path.remove(str(SCRIPTS))
+
+
+def test_sweep_row_rank_completed_first():
+    """--configs-json top-k: completed trials outrank ASHA-pruned ones even
+    when pruning stopped a trial at a flattering early-epoch val_loss."""
+    sys.path.insert(0, str(SCRIPTS))
+    try:
+        from accuracy_program import sweep_row_rank
+
+        rows = [
+            {"status": "stopped", "val_loss": 1.0},  # pruned, better loss
+            {"status": "done", "val_loss": 5.0},
+            {"status": "done", "val_loss": 3.0},
+            {"status": "error"},  # no val_loss at all
+        ]
+        ranked = sorted(rows, key=sweep_row_rank)
+        assert [r.get("val_loss") for r in ranked] == [3.0, 5.0, 1.0, None]
+        assert [r["status"] for r in ranked[:2]] == ["done", "done"]
+    finally:
+        sys.path.remove(str(SCRIPTS))
+
+
 @pytest.mark.slow
 def test_accuracy_program_quick(tmp_path):
     out = tmp_path / "acc.json"
@@ -157,6 +197,12 @@ def test_sweep_cli_process_executor(tmp_path):
     pids = {m.get("pid") for t in results for m in t["history"]}
     assert slots == {"0", "1"}, f"both pinned slots should be used: {slots}"
     assert len(pids) >= 2, "trials should run in separate processes"
+    # deterministic (trial-id, not pid) checkpoint names, reproducible runs
+    ckpts = sorted(
+        p.name for p in (tmp_path / "ray_results" / "proc_smoke" /
+                         "checkpoints").glob("trial_*.pt")
+    )
+    assert ckpts == ["trial_0.pt", "trial_1.pt", "trial_2.pt"], ckpts
     cfg = json.loads(best.read_text())
     assert "normalize" in cfg and cfg["normalize"] is True
 

@@ -212,6 +212,10 @@ class TestConcurrency:
         slots = {t.last("slot") for t in trials}
         assert slots == {"0", "1"}, f"both env-pinned slots should be used: {slots}"
         assert os.environ.get("SWEEP_SLOT") is None, "pinning must not leak to parent"
+        # the executor exports a deterministic trial id (not the pid) so
+        # child seeds/checkpoint names reproduce across runs
+        env_ids = {t.last("env_trial_id") for t in trials}
+        assert env_ids == {"0", "1", "2"}, env_ids
 
 
 def _proc_trainable(config, report):
@@ -219,6 +223,7 @@ def _proc_trainable(config, report):
     report(
         epoch=1, loss=config["x"], pid=os.getpid(),
         slot=os.environ.get("SWEEP_SLOT", ""),
+        env_trial_id=os.environ.get("LIVAE_TRIAL_ID", ""),
     )
 
 
