@@ -43,7 +43,7 @@ VAL_BATCHES = 2
 ENCODE_STEPS = 12
 
 
-def _arm_watchdog(seconds: int = 2400):
+def _arm_watchdog(seconds: int | None = None):
     """Emit an explicit error JSON instead of hanging the harness.
 
     The tunneled TPU backend can become UNAVAILABLE in a way that makes
@@ -57,6 +57,11 @@ def _arm_watchdog(seconds: int = 2400):
     """
     import os
     import threading
+
+    if seconds is None:
+        # override for tests / short driver budgets; default covers the
+        # tunnel's worst-case 130-460 s first-jit warmup with margin
+        seconds = int(os.environ.get("LIVAE_BENCH_WATCHDOG_S", "2400"))
 
     def _fire():
         print(
@@ -188,4 +193,25 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001
+        # The contract is ONE parseable JSON line on stdout no matter what.
+        # The watchdog covers hangs; this covers immediate failures (e.g.
+        # the tunneled backend raising UNAVAILABLE at init, BENCH_r03).
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "rvae_train_encode_patches_per_sec_per_chip_sustained",
+                    "value": 0.0,
+                    "unit": "patches/sec",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                }
+            ),
+            flush=True,
+        )
+        raise SystemExit(2)
