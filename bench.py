@@ -63,6 +63,12 @@ def _arm_watchdog(seconds: int | None = None):
         # tunnel's worst-case 130-460 s first-jit warmup with margin
         seconds = int(os.environ.get("LIVAE_BENCH_WATCHDOG_S", "2400"))
 
+    # Capture the REAL stdout at arm time: the first device op (and so the
+    # hang this watchdog guards) happens inside main()'s
+    # redirect_stdout(sys.stderr) block, which rebinds sys.stdout for all
+    # threads — printing via the global would misroute the JSON to stderr.
+    out = sys.stdout
+
     def _fire():
         print(
             json.dumps(
@@ -74,6 +80,7 @@ def _arm_watchdog(seconds: int | None = None):
                     "error": f"TPU backend unresponsive for {seconds}s (tunnel down?)",
                 }
             ),
+            file=out,
             flush=True,
         )
         os._exit(2)

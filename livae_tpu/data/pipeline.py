@@ -128,10 +128,13 @@ def _axis_resample_matmul(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
     W = w0[..., None] * (i0c[..., None] == iota) + w1[..., None] * (
         i1c[..., None] == iota
     )  # [B, n_out, n] f32
-    # dot_general rejects mixed operand dtypes; promote non-f32 frames the
-    # same way the gather backend's w*x products would (bf16*f32 -> f32).
+    # dot_general rejects mixed operand dtypes; promote BOTH operands the
+    # same way the gather backend's w*x products would (bf16*f32 -> f32,
+    # f64*f32 -> f64 under x64), so the backends stay dtype-interchangeable.
     if x.dtype != W.dtype:
-        x = x.astype(W.dtype)
+        dt = jnp.promote_types(x.dtype, W.dtype)
+        x = x.astype(dt)
+        W = W.astype(dt)
     if axis == 1:
         # [B, n_out, n] . [B, n, W] -> [B, n_out, W]
         return jax.lax.dot_general(
@@ -139,7 +142,7 @@ def _axis_resample_matmul(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
             x,
             (((2,), (1,)), ((0,), (0,))),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x.dtype,
         )
     elif axis == 2:
         # [B, H, n] . [B, n_out, n] -> [B, H, n_out]
@@ -148,7 +151,7 @@ def _axis_resample_matmul(x: jax.Array, src: jax.Array, axis: int) -> jax.Array:
             W,
             (((2,), (2,)), ((0,), (0,))),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x.dtype,
         )
     else:  # pragma: no cover
         raise ValueError(axis)

@@ -141,17 +141,26 @@ def _rot3_bwd_kernel(
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
-def _tile_batch(B, H, W, n_bufs, budget=12_000_000):
-    """Samples per grid step under the 16 MB scoped-VMEM limit.
+# Scoped-VMEM sizing shared by the launch helpers and the callers' fits
+# check. FWD/BWD_N_BUFS are the kernels' concurrent-f32-tile-buffer
+# estimates (pipelined in/out blocks count double for double-buffering);
+# VMEM_BUDGET leaves headroom under the 16 MB scoped limit.
+FWD_N_BUFS = 10
+BWD_N_BUFS = 20
+VMEM_BUDGET = 12_000_000
 
-    Budget accounts for the physically padded tile layout (sublanes of 8,
-    lanes of 128) and `n_bufs` concurrent f32 tile buffers (pipelined
-    input/output blocks count double for prefetch double-buffering —
-    callers pass that in).
-    """
+
+def _per_tile_bytes(H, W, n_bufs):
+    """Bytes of scoped VMEM per batch sample: physically padded tile
+    layout (sublanes of 8, lanes of 128) x n_bufs concurrent f32 tiles."""
     Hp = -(-H // 8) * 8
     Wp = -(-W // 128) * 128
-    per_tile = Hp * Wp * 4 * n_bufs
+    return Hp * Wp * 4 * n_bufs
+
+
+def _tile_batch(B, H, W, n_bufs, budget=VMEM_BUDGET):
+    """Samples per grid step under the scoped-VMEM budget."""
+    per_tile = _per_tile_bytes(H, W, n_bufs)
     TB = 1
     while TB * 2 <= B and B % (TB * 2) == 0 and (TB * 2) * per_tile <= budget:
         TB *= 2
@@ -161,14 +170,12 @@ def _tile_batch(B, H, W, n_bufs, budget=12_000_000):
 def rot3_fits_vmem(H: int, W: int) -> bool:
     """Whether the fused kernels compile within the scoped-VMEM budget.
 
-    The backward kernel is the constraint (~20 concurrent f32 tile
-    buffers, see _rot3_bwd_impl); below TB=1 there is nothing left to
-    shrink and pallas_call fails at compile, so callers must fall back
-    to the XLA shear path (canvases around 448+ at f32).
+    The backward kernel is the constraint (BWD_N_BUFS concurrent f32
+    tile buffers, see _rot3_bwd_impl); below TB=1 there is nothing left
+    to shrink and pallas_call fails at compile, so callers must fall
+    back to the XLA shear path (canvases around 448+ at f32).
     """
-    Hp = -(-H // 8) * 8
-    Wp = -(-W // 128) * 128
-    return Hp * Wp * 4 * 20 <= 12_000_000
+    return _per_tile_bytes(H, W, BWD_N_BUFS) <= VMEM_BUDGET
 
 
 def _rot3_fwd_impl(x, d_row, d_col, interpret=False):
@@ -178,8 +185,8 @@ def _rot3_fwd_impl(x, d_row, d_col, interpret=False):
     nbits = max(1, int(np.ceil(np.log2(n))))
     # in + out blocks double-buffer (2x each) + scratch + the butterfly's
     # live temporaries (roll candidate, select output, lerp g1) — the
-    # compiler's scoped-stack analysis counts ~10 concurrent tile buffers
-    TB = _tile_batch(B, H, W, n_bufs=10)
+    # compiler's scoped-stack analysis counts ~FWD_N_BUFS concurrent tiles
+    TB = _tile_batch(B, H, W, n_bufs=FWD_N_BUFS)
     dr3 = d_row.astype(jnp.float32)[:, None, :]
     dc3 = d_col.astype(jnp.float32)[:, None, :]
     kernel = functools.partial(_rot3_fwd_kernel, n=n, nbits=nbits)
@@ -204,8 +211,8 @@ def _rot3_bwd_impl(x, d_row, d_col, g, interpret=False):
     n = H
     nbits = max(1, int(np.ceil(np.log2(n))))
     # 2 in tiles + 1 out tile double-buffered (6) + 3 scratches + int-pair
-    # and butterfly temporaries: budget ~20 concurrent tile buffers
-    TB = _tile_batch(B, H, W, n_bufs=20)
+    # and butterfly temporaries: budget ~BWD_N_BUFS concurrent tile buffers
+    TB = _tile_batch(B, H, W, n_bufs=BWD_N_BUFS)
     dr3 = d_row.astype(jnp.float32)[:, None, :]
     dc3 = d_col.astype(jnp.float32)[:, None, :]
     kernel = functools.partial(_rot3_bwd_kernel, n=n, nbits=nbits)

@@ -344,12 +344,26 @@ def rotate_image_fast(
     rows = (jnp.arange(P, dtype=jnp.float32) - c)[None, :, None, None]  # [1,P,1,1]
     cols = (jnp.arange(P, dtype=jnp.float32) - c)[None, None, :, None]  # [1,1,P,1]
 
-    from .pallas.rot3 import rot3_fits_vmem, rot3_pallas
+    use_pallas = _use_pallas_backend(backend) and C == 1
+    if use_pallas:
+        # gated import: XLA-only callers never need pallas to be importable
+        from .pallas.rot3 import rot3_fits_vmem, rot3_pallas
 
-    # Canvases around 448+ overflow the backward kernel's scoped-VMEM
-    # budget even at TB=1 (pallas_call would fail at compile); fall back
-    # to the arithmetic-identical XLA branch rather than erroring.
-    if _use_pallas_backend(backend) and C == 1 and rot3_fits_vmem(P, P):
+        # Canvases around 448+ overflow the backward kernel's scoped-VMEM
+        # budget even at TB=1 (pallas_call would fail at compile); fall
+        # back to the arithmetic-identical XLA branch rather than erroring.
+        if not rot3_fits_vmem(P, P):
+            if backend == "pallas":
+                import warnings
+
+                warnings.warn(
+                    f"rotate_image_fast(backend='pallas'): canvas {P} "
+                    "exceeds the rot3 kernel's VMEM budget; using the XLA "
+                    "shear path instead",
+                    stacklevel=2,
+                )
+            use_pallas = False
+    if use_pallas:
         x2 = img[..., 0]  # [B, P, P]
         d_row = (alpha * rows)[:, :, 0, 0]  # [B, P] per-row shift (along W)
         d_col = (beta * cols)[:, 0, :, 0]  # [B, P] per-col shift (along H)

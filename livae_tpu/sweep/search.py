@@ -584,8 +584,10 @@ def _run_processes(
         parent_conn, child_conn = ctx.Pipe()
         # Deterministic trial identity for the child (seed/ckpt naming):
         # pids are not reproducible across runs and can collide on reuse.
+        # Assigned unconditionally — trial_env(slot) is per-SLOT, and a
+        # slot-constant id would make same-slot trials clobber each other.
         env = dict(trial_env(slot)) if trial_env else {}
-        env.setdefault("LIVAE_TRIAL_ID", str(trial.trial_id))
+        env["LIVAE_TRIAL_ID"] = str(trial.trial_id)
         proc = ctx.Process(
             target=_process_trial_entry,
             args=(child_conn, trainable, dict(config), env),

@@ -205,10 +205,12 @@ class TestFastRotation:
 
         imgs = jnp.asarray(rng.random((2, 64, 64, 1)).astype(np.float32))
         thetas = jnp.asarray(np.array([0.4, -1.1], dtype=np.float32))
-        # margin=192 -> canvas P=448: beyond the budget at TB=1
-        out_p = rotate_image_fast(
-            imgs, thetas, "reflection", margin=192, backend="pallas"
-        )
+        # margin=192 -> canvas P=448: beyond the budget at TB=1. An
+        # explicitly requested pallas backend must warn that it fell back.
+        with pytest.warns(UserWarning, match="VMEM budget"):
+            out_p = rotate_image_fast(
+                imgs, thetas, "reflection", margin=192, backend="pallas"
+            )
         out_x = rotate_image_fast(
             imgs, thetas, "reflection", margin=192, backend="xla"
         )
