@@ -31,6 +31,7 @@ from ..ops.resample import (
     rotate_image_fast,
     rotation_matrix,
 )
+from ..parallel.mesh import tp_boundary
 from .layers import Conv, Dense, FusedConvPool, FusedUpConv
 from .vae import ENCODER_WIDTHS, reparameterize
 
@@ -83,6 +84,9 @@ class RotationSTN(nn.Module):
         h = self.loc_conv0(x)   # fused conv+relu+pool
         h = self.loc_conv1(h)
         h = h.reshape(h.shape[0], -1).astype(jnp.float32)
+        # TP boundary before the (possibly row-parallel) loc_fc0; no-op
+        # off-mesh. See Encoder.encode_with_canonical.
+        h = tp_boundary(h)
         h = nn.relu(self.loc_fc0(h))
         vec = self.loc_fc1(h)
 
@@ -171,6 +175,11 @@ class Encoder(nn.Module):
         for conv in self._convs:
             h = nn.relu(conv(h))
         h = h.reshape(h.shape[0], -1).astype(jnp.float32)
+        # Megatron TP boundary: fc_mu/fc_logvar below are row-parallel
+        # (input-axis-sharded kernels); pin the flatten replicated so the
+        # contraction split stays local and the model axis cannot
+        # propagate backward into the conv trunk (no-op off-mesh).
+        h = tp_boundary(h)
         return self.fc_mu(h), self.fc_logvar(h), theta, x_rotated
 
     def predict_theta(self, x: jax.Array) -> jax.Array:
@@ -206,6 +215,7 @@ class Encoder(nn.Module):
         for conv in self._convs:
             h = nn.relu(conv(h))
         h = h.reshape(h.shape[0], -1).astype(jnp.float32)
+        h = tp_boundary(h)  # see encode_with_canonical
         return self.fc_mu(h), self.fc_logvar(h), theta, x_rotated, theta_rot
 
 
@@ -225,6 +235,10 @@ class Decoder(nn.Module):
         side = self.patch_size // 16
         h = Dense(256 * side * side, name="fc")(z)
         h = nn.relu(h)
+        # Megatron TP boundary: under a 2-D mesh the fc above is
+        # column-parallel; gather the model axis here so the replicated
+        # conv stack below sees full activations (no-op off-mesh).
+        h = tp_boundary(h)
         h = h.reshape(h.shape[0], side, side, 256)
         if self.compute_dtype is not None:
             h = h.astype(jnp.dtype(self.compute_dtype))

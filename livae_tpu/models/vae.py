@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.mesh import tp_boundary
 from .layers import Conv, ConvTranspose, Dense
 
 __all__ = ["VAEEncoder", "VAEDecoder", "VAE", "reparameterize"]
@@ -51,6 +52,9 @@ class VAEEncoder(nn.Module):
                      dtype=self.compute_dtype, name=f"conv{i}")(x)
             x = nn.relu(x)
         h = x.reshape(x.shape[0], -1)  # NHWC flatten: (H, W, C) order
+        # Megatron TP boundary before the row-parallel fc heads (no-op
+        # off-mesh); see livae_tpu.parallel.mesh.tp_boundary.
+        h = tp_boundary(h)
         mu = Dense(self.latent_dim, name="fc_mu")(h.astype(jnp.float32))
         logvar = Dense(self.latent_dim, name="fc_logvar")(h.astype(jnp.float32))
         return mu, logvar
@@ -69,6 +73,9 @@ class VAEDecoder(nn.Module):
         side = self.patch_size // 16
         h = Dense(256 * side * side, name="fc")(z)
         h = nn.relu(h)
+        # Megatron TP boundary after the column-parallel fc (no-op
+        # off-mesh); see livae_tpu.parallel.mesh.tp_boundary.
+        h = tp_boundary(h)
         h = h.reshape(h.shape[0], side, side, 256)  # NHWC
         widths = (128, 64, 32, self.out_channels)
         for i, width in enumerate(widths):

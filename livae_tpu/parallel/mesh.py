@@ -17,10 +17,21 @@ This module provides the mesh + sharding plumbing:
   DDP).
 * `shard_batch` / `replicate` — explicit placement helpers.
 
-TP/PP/SP/EP/CP and ring attention are intentionally out of scope: the
-model has no attention and fits on one chip many times over; this mirrors
-the reference's scope (SURVEY.md §5 "long-context: absent by design").
-Sweep-level parallelism lives in livae_tpu.sweep.
+For production training of the reference-sized (~1-3M-param) models, DATA
+parallelism is the whole story. A 2-D data x model option exists for the
+one place this family outgrows a chip's sweet spot: the post-flatten dense
+layers scale with patch_size^2 (a patch-512 encoder fc is ~64M params per
+head), so `make_mesh2d` + `dense_param_specs` shard those kernels
+Megatron-style over a "model" axis while the small convs replicate. The
+2-D path needs NO bespoke jit wiring: place the state with
+`place_with_specs`, shard the batch on "data", and plain `jax.jit` infers
+the rest (GSPMD inserts the psum/all-gather collectives over ICI). See
+tests/test_parallel.py for the step-for-step identity proof vs 1-D.
+
+PP/SP/EP/CP and ring attention remain out of scope: the model has no
+attention and no sequence dimension; this mirrors the reference's scope
+(SURVEY.md §5 "long-context: absent by design"). Sweep-level parallelism
+lives in livae_tpu.sweep.
 """
 
 from __future__ import annotations
@@ -33,15 +44,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "make_mesh2d",
     "replicate",
     "shard_batch",
     "shard_train_step",
     "shard_eval_step",
     "fused_epoch_shardings",
+    "dense_param_specs",
+    "place_with_specs",
+    "tp_boundary",
     "resolve_num_devices",
 ]
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -55,6 +71,113 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
             )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def make_mesh2d(n_data: int, n_model: int, devices=None) -> Mesh:
+    """2-D ("data", "model") mesh over n_data * n_model local devices.
+
+    Lay the model axis innermost so its collectives (the dense psum /
+    all-gather) ride the fastest ICI links between adjacent chips.
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_model
+    if len(devices) < need:
+        raise ValueError(
+            f"Requested {n_data}x{n_model} mesh but only {len(devices)} devices"
+        )
+    return Mesh(
+        np.array(devices[:need]).reshape(n_data, n_model),
+        (DATA_AXIS, MODEL_AXIS),
+    )
+
+
+def dense_param_specs(params: Any, n_model: int, min_dim: int = 1024) -> Any:
+    """Megatron-style PartitionSpec tree for the large dense layers.
+
+    For every 2-D `kernel` whose largest n_model-divisible axis is at
+    least `min_dim`, shard that axis on MODEL_AXIS (the post-flatten axis
+    in this family — the only axis that grows with patch_size^2); the
+    sibling `bias` shards on MODEL_AXIS only when the kernel's OUTPUT
+    axis is the sharded one. Conv kernels and everything else replicate
+    (P()) — at 3x3xCinxCout with Cout <= 256 they are too small for
+    sharding to beat the collective cost.
+
+    Returns a pytree of PartitionSpec matching `params`, suitable for
+    `place_with_specs` (and for sharding optimizer moments, which mirror
+    the param tree structure).
+    """
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return jax.tree_util.tree_map(lambda _: P(), node)
+        out = {}
+        kernel = node.get("kernel")
+        kernel_spec = P()
+        if kernel is not None and getattr(kernel, "ndim", 0) == 2:
+            candidates = [
+                a
+                for a in (0, 1)
+                if kernel.shape[a] >= min_dim and kernel.shape[a] % n_model == 0
+            ]
+            if candidates:
+                axis = max(candidates, key=lambda a: kernel.shape[a])
+                kernel_spec = (
+                    P(MODEL_AXIS, None) if axis == 0 else P(None, MODEL_AXIS)
+                )
+        for k, v in node.items():
+            if k == "kernel":
+                out[k] = kernel_spec
+            elif (
+                k == "bias"
+                and kernel_spec == P(None, MODEL_AXIS)
+                and v.shape[0] % n_model == 0
+            ):
+                out[k] = P(MODEL_AXIS)
+            elif isinstance(v, dict):
+                out[k] = walk(v)
+            else:
+                out[k] = P()
+        return out
+
+    # flax params are nested plain dicts after model.init (FrozenDict in
+    # older flax — normalize through tree utilities if so)
+    if hasattr(params, "unfreeze"):
+        params = params.unfreeze()
+    return walk(params)
+
+
+def place_with_specs(tree: Any, mesh: Mesh, specs: Any) -> Any:
+    """device_put every leaf with its NamedSharding(mesh, spec)."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
+
+
+def tp_boundary(x: jax.Array) -> jax.Array:
+    """End a Megatron column-parallel region: all-gather the model axis.
+
+    Constrains a batch-leading activation to (DATA_AXIS, None, ...) —
+    batch stays data-sharded, every feature axis is gathered. Placed at
+    the output of a column-parallel dense layer this is the canonical
+    Megatron boundary collective, and it stops GSPMD from propagating the
+    model-axis sharding into downstream reshapes (e.g. the decoder's
+    feature->spatial reshape, where a model-sharded tiny spatial dim
+    trips XLA SPMD partitioner edge cases in the edge-padded, scatter-
+    corrected fused upconv — observed as silently wrong values on the
+    CPU backend).
+
+    No-op unless a mesh is installed in context via `jax.set_mesh(mesh)`
+    (the 2-D TP call sites do this); single-device and plain 1-D DP
+    callers pay nothing.
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or not am.axis_names:
+        return x
+    batch = DATA_AXIS if DATA_AXIS in am.axis_names else None
+    return jax.lax.with_sharding_constraint(
+        x, P(batch, *([None] * (x.ndim - 1)))
+    )
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

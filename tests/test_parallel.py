@@ -186,6 +186,98 @@ def test_fused_rvae_step_sharded_matches_single_device(mesh, site_table):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_dense_param_specs_shards_only_large_dense():
+    """Megatron-style spec derivation: the post-flatten dense kernels (the
+    only params that scale with patch_size^2) shard on the model axis —
+    input-axis for the encoder heads, output-axis (with bias) for the
+    decoder fc — while conv kernels and small dense layers replicate."""
+    from jax.sharding import PartitionSpec as PS
+    from livae_tpu.parallel.mesh import dense_param_specs
+
+    model = RVAE(latent_dim=4, patch_size=P)
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, P, P, 1)),
+    )
+    specs = dense_param_specs(params, n_model=2)
+    enc = specs["params"]["encoder"]
+    dec = specs["params"]["decoder"]
+    assert enc["fc_mu"]["dense"]["kernel"] == PS("model", None)  # [1024, 4]
+    assert enc["fc_mu"]["dense"]["bias"] == PS()  # output axis unsharded
+    assert dec["fc"]["dense"]["kernel"] == PS(None, "model")  # [4, 1024]
+    assert dec["fc"]["dense"]["bias"] == PS("model")
+    assert enc["conv0"]["conv"]["kernel"] == PS()  # convs replicate
+    # tiny dense (loc_fc1 [32, 2]) replicates
+    assert specs["params"]["encoder"]["rotation_stn"]["loc_fc1"]["kernel"] == PS()
+
+
+@pytest.mark.slow
+def test_fused_rvae_step_mesh2d_dense_tp_matches_single_device(site_table):
+    """2-D data x model mesh: the fused step with Megatron-sharded dense
+    layers (no bespoke jit wiring — shardings inferred from the placed
+    state) is step-for-step equivalent to single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    from livae_tpu.data.pipeline import AugmentConfig
+    from livae_tpu.parallel.mesh import (
+        dense_param_specs,
+        make_mesh2d,
+        place_with_specs,
+        replicate,
+    )
+    from livae_tpu.train.engine import make_fused_rvae_train_step
+
+    frames_padded, img_idx, coords, margin, padding = site_table
+    mesh2 = make_mesh2d(4, 2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+    model = RVAE(latent_dim=4, patch_size=P)
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, P, P, 1)),
+    )
+    tx = make_optimizer(1e-3, optimizer="adamw", weight_decay=1e-5)
+    kwargs = dict(
+        patch_size=P, padding=padding, cfg=AugmentConfig(), margin=margin,
+        canonical_weight=0.2, grad_max_norm=20.0,
+    )
+    idx_batches = jnp.arange(2 * B, dtype=jnp.int32).reshape(2, B)
+    key = jax.random.key(5)
+
+    params1 = jax.tree.map(jnp.copy, params)
+    step1 = make_fused_rvae_train_step(model, tx, **kwargs)
+    s1, m1 = step1(
+        TrainState.create(params1, tx), frames_padded, img_idx, coords,
+        idx_batches, key, 10.0, 10.0,
+    )
+
+    specs = dense_param_specs(params, n_model=2)
+    params2 = place_with_specs(jax.tree.map(jnp.copy, params), mesh2, specs)
+    # optimizer moments mirror the placed params' shardings (zeros_like)
+    state2 = TrainState.create(params2, tx)
+    step2 = make_fused_rvae_train_step(model, tx, **kwargs)  # plain jit
+    # set_mesh installs the context mesh the decoder's tp_boundary
+    # all-gather resolves against (no-op without it).
+    with jax.set_mesh(mesh2):
+        s2, m2 = step2(
+            state2,
+            replicate(frames_padded, mesh2),
+            replicate(img_idx, mesh2),
+            replicate(coords, mesh2),
+            jax.device_put(idx_batches, NamedSharding(mesh2, PS(None, "data"))),
+            replicate(key, mesh2),
+            10.0,
+            10.0,
+        )
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    assert int(s2.step) == 2
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # the updated params actually stayed model-sharded through the step
+    k2 = s2.params["params"]["encoder"]["fc_mu"]["dense"]["kernel"]
+    assert "model" in str(k2.sharding.spec)
+
+
 @pytest.mark.slow
 def test_fused_eval_sharded_matches_single_device(mesh, site_table):
     from livae_tpu.train.engine import make_fused_eval
