@@ -23,10 +23,12 @@ one place this family outgrows a chip's sweet spot: the post-flatten dense
 layers scale with patch_size^2 (a patch-512 encoder fc is ~64M params per
 head), so `make_mesh2d` + `dense_param_specs` shard those kernels
 Megatron-style over a "model" axis while the small convs replicate. The
-2-D path needs NO bespoke jit wiring: place the state with
-`place_with_specs`, shard the batch on "data", and plain `jax.jit` infers
-the rest (GSPMD inserts the psum/all-gather collectives over ICI). See
-tests/test_parallel.py for the step-for-step identity proof vs 1-D.
+recipe: place the state with `place_with_specs`, install the context mesh
+with `jax.set_mesh(mesh)` (it resolves the models' `tp_boundary`
+collectives), shard the batch on "data", and `jax.jit` infers the rest —
+GSPMD inserts the dense psum/all-gather over ICI. Production CLIs expose
+it as `--model-parallel M`; see tests/test_parallel.py for the
+step-for-step identity proof vs 1-D and single-device.
 
 PP/SP/EP/CP and ring attention remain out of scope: the model has no
 attention and no sequence dimension; this mirrors the reference's scope
@@ -242,11 +244,18 @@ def fused_epoch_shardings(mesh: Mesh) -> tuple[Any, Any]:
     inherit the batch sharding via GSPMD, and the global-mean loss makes
     gradients come out psum-reduced over ICI. Everything else (params,
     opt state, the device-resident frames, RNG key, scalars) replicates.
+
+    On a 2-D ("data", "model") mesh the state/params slot is left
+    UNCONSTRAINED (None) instead of replicated, so a Megatron-placed
+    state (see `dense_param_specs`) keeps its model sharding through the
+    step; jit infers the matching output sharding. On a 1-D data mesh
+    the behavior is unchanged: everything but idx_batches replicates.
     """
     repl = NamedSharding(mesh, P())
     idx = NamedSharding(mesh, P(None, DATA_AXIS))  # [steps, batch]
-    in_shardings = (repl, repl, repl, repl, idx, repl, repl, repl)
-    out_shardings = (repl, repl)
+    state_sh = None if MODEL_AXIS in mesh.axis_names else repl
+    in_shardings = (state_sh, repl, repl, repl, idx, repl, repl, repl)
+    out_shardings = (state_sh, repl)
     return in_shardings, out_shardings
 
 

@@ -283,8 +283,20 @@ def _jit_fused(step_impl, mesh, *, donate_state: bool = True, state_out: bool = 
 
     ins, outs = fused_epoch_shardings(mesh)
     if not state_out:
-        outs = ins[0]  # replicated pytree (metrics only)
-    return jax.jit(step_impl, donate_argnums=donate, in_shardings=ins, out_shardings=outs)
+        outs = ins[1]  # metrics only: always replicated (ins[0] is None on a TP mesh)
+    fn = jax.jit(step_impl, donate_argnums=donate, in_shardings=ins, out_shardings=outs)
+
+    def place_idx_and_run(*args):
+        # Explicitly place idx_batches on the mesh's data axis: under a
+        # context mesh (jax.set_mesh, the 2-D TP path) freshly created
+        # arrays are committed replicated, and jit raises on a committed
+        # arg that mismatches in_shardings instead of resharding it.
+        # device_put is a no-op when the sharding already matches.
+        args = list(args)
+        args[4] = jax.device_put(args[4], ins[4])
+        return fn(*args)
+
+    return place_idx_and_run
 
 
 def make_fused_rvae_train_step(

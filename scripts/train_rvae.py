@@ -31,7 +31,15 @@ from _common import _vis_forward, add_data_flags, resolve_images, split_indices
 
 from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset, default_transform
 from livae_tpu.models.rvae import RVAE
-from livae_tpu.parallel.mesh import make_mesh, resolve_num_devices
+from jax.sharding import PartitionSpec
+
+from livae_tpu.parallel.mesh import (
+    dense_param_specs,
+    make_mesh,
+    make_mesh2d,
+    place_with_specs,
+    resolve_num_devices,
+)
 from livae_tpu.train.engine import (
     MetricLogger,
     evaluate_fused,
@@ -130,20 +138,52 @@ def run_training(args) -> dict:
         freeze_stn=args.freeze_stn,
         params=params if (stn_lr is not None or args.freeze_stn) else None,
     )
-    state = TrainState.create(params, tx)
-
-    # Data parallelism: shard the patch batch over a 1-D device mesh
+    # Parallelism: shard the patch batch over the mesh's "data" axis
     # (GSPMD psum gradient all-reduce; per-step math identical to 1 device).
+    # With --model-parallel M > 1 the mesh is 2-D (data x model) and the
+    # large post-flatten dense kernels shard Megatron-style on "model"
+    # (livae_tpu.parallel.mesh.dense_param_specs); proven step-for-step
+    # identical to single-device in tests/test_parallel.py.
     n_devices = resolve_num_devices(args.num_devices)
+    mp = max(1, args.model_parallel)
+    if n_devices % mp:
+        raise SystemExit(
+            f"--num-devices {n_devices} must be divisible by "
+            f"--model-parallel {mp}"
+        )
+    n_data = n_devices // mp
     mesh = None
     if n_devices > 1:
-        if args.batch_size % n_devices:
+        if args.batch_size % n_data:
             raise SystemExit(
-                f"--batch-size {args.batch_size} must be divisible by "
-                f"--num-devices {n_devices}"
+                f"--batch-size {args.batch_size} must be divisible by the "
+                f"data-parallel ways ({n_data} = --num-devices/--model-parallel)"
             )
-        mesh = make_mesh(n_devices)
-        print(f"Data-parallel mesh: {n_devices} devices {mesh.shape}")
+        if mp > 1:
+            mesh = make_mesh2d(n_data, mp)
+            # install the context mesh the models' tp_boundary collectives
+            # resolve against (no-op elsewhere)
+            jax.set_mesh(mesh)
+            specs = dense_param_specs(params, n_model=mp)
+            params = place_with_specs(params, mesh, specs)
+            n_sharded = sum(
+                1 for s in jax.tree_util.tree_leaves(
+                    specs, is_leaf=lambda x: isinstance(x, PartitionSpec))
+                if s != PartitionSpec()
+            )
+            print(
+                f"2-D mesh: {n_data} data x {mp} model {mesh.shape}; "
+                f"{n_sharded} model-sharded dense params"
+            )
+            if n_sharded == 0:
+                print(
+                    "  note: no dense kernel is large enough to shard at "
+                    "this patch size — running as pure data parallelism"
+                )
+        else:
+            mesh = make_mesh(n_devices)
+            print(f"Data-parallel mesh: {n_devices} devices {mesh.shape}")
+    state = TrainState.create(params, tx)
 
     grad_max_norm = args.grad_max_norm if args.grad_max_norm is not None else 20.0
     train_step = make_fused_rvae_train_step(
@@ -241,7 +281,7 @@ def run_training(args) -> dict:
 
         val_bs = min(args.batch_size, len(val_idx))
         if mesh is not None:
-            val_bs = max(n_devices, val_bs - val_bs % n_devices)
+            val_bs = max(n_data, val_bs - val_bs % n_data)
         val_metrics = evaluate_fused(
             fused_eval, tail_eval, state.params, dataset.device_site_table,
             val_idx, val_bs, vk, epoch_logger, beta=beta, gamma=args.gamma,
@@ -369,7 +409,16 @@ def build_argparser() -> argparse.ArgumentParser:
         "--num-devices",
         type=str,
         default="1",
-        help='Data-parallel devices: an integer or "auto" (all local devices)',
+        help='Total devices: an integer or "auto" (all local devices)',
+    )
+    parser.add_argument(
+        "--model-parallel",
+        type=int,
+        default=1,
+        help="Megatron-style tensor-parallel ways for the large dense "
+        "layers over a 2-D (data x model) mesh; must divide --num-devices. "
+        "Worthwhile only at large --patch-size, where the post-flatten "
+        "dense kernels dominate the parameter count",
     )
     parser.add_argument("--log-dir", type=str, default="runs/rvae")
     parser.add_argument("--no-tensorboard", action="store_true")

@@ -22,7 +22,15 @@ from _common import _vis_forward, add_data_flags, resolve_images, split_indices
 
 from livae_tpu.data.datasets import AdaptiveLatticeDataset, default_transform
 from livae_tpu.models.vae import VAE
-from livae_tpu.parallel.mesh import make_mesh, resolve_num_devices
+from jax.sharding import PartitionSpec
+
+from livae_tpu.parallel.mesh import (
+    dense_param_specs,
+    make_mesh,
+    make_mesh2d,
+    place_with_specs,
+    resolve_num_devices,
+)
 from livae_tpu.train.engine import (
     MetricLogger,
     evaluate_fused,
@@ -77,18 +85,43 @@ def run_training(args) -> dict:
         total_steps=args.epochs * steps_per_epoch,
     )
     tx = make_optimizer(schedule, optimizer="adam")
-    state = TrainState.create(params, tx)
 
+    # Mesh setup mirrors train_rvae.py: 1-D data-parallel, or 2-D
+    # (data x model) with Megatron-sharded large dense kernels when
+    # --model-parallel > 1 (livae_tpu.parallel.mesh.dense_param_specs).
     n_devices = resolve_num_devices(args.num_devices)
+    mp = max(1, args.model_parallel)
+    if n_devices % mp:
+        raise SystemExit(
+            f"--num-devices {n_devices} must be divisible by "
+            f"--model-parallel {mp}"
+        )
+    n_data = n_devices // mp
     mesh = None
     if n_devices > 1:
-        if args.batch_size % n_devices:
+        if args.batch_size % n_data:
             raise SystemExit(
-                f"--batch-size {args.batch_size} must be divisible by "
-                f"--num-devices {n_devices}"
+                f"--batch-size {args.batch_size} must be divisible by the "
+                f"data-parallel ways ({n_data} = --num-devices/--model-parallel)"
             )
-        mesh = make_mesh(n_devices)
-        print(f"Data-parallel mesh: {n_devices} devices {mesh.shape}")
+        if mp > 1:
+            mesh = make_mesh2d(n_data, mp)
+            jax.set_mesh(mesh)  # context for the models' tp_boundary
+            specs = dense_param_specs(params, n_model=mp)
+            params = place_with_specs(params, mesh, specs)
+            n_sharded = sum(
+                1 for s in jax.tree_util.tree_leaves(
+                    specs, is_leaf=lambda x: isinstance(x, PartitionSpec))
+                if s != PartitionSpec()
+            )
+            print(
+                f"2-D mesh: {n_data} data x {mp} model {mesh.shape}; "
+                f"{n_sharded} model-sharded dense params"
+            )
+        else:
+            mesh = make_mesh(n_devices)
+            print(f"Data-parallel mesh: {n_devices} devices {mesh.shape}")
+    state = TrainState.create(params, tx)
 
     train_step = make_fused_vae_train_step(
         model, tx,
@@ -142,7 +175,7 @@ def run_training(args) -> dict:
 
         val_bs = min(args.batch_size, len(val_idx))
         if mesh is not None:
-            val_bs = max(n_devices, val_bs - val_bs % n_devices)
+            val_bs = max(n_data, val_bs - val_bs % n_data)
         val_metrics = evaluate_fused(
             fused_eval, tail_eval, state.params, dataset.device_site_table,
             val_idx, val_bs, vk, logger, beta=beta,
@@ -219,7 +252,14 @@ def build_argparser() -> argparse.ArgumentParser:
         "--num-devices",
         type=str,
         default="1",
-        help='Data-parallel devices: an integer or "auto" (all local devices)',
+        help='Total devices: an integer or "auto" (all local devices)',
+    )
+    parser.add_argument(
+        "--model-parallel",
+        type=int,
+        default=1,
+        help="Megatron-style tensor-parallel ways for the large dense "
+        "layers over a 2-D (data x model) mesh; must divide --num-devices",
     )
     parser.add_argument("--log-dir", type=str, default="runs/vae")
     parser.add_argument("--no-tensorboard", action="store_true")
