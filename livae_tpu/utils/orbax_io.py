@@ -67,12 +67,16 @@ def restore_train_state(
         step = mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"No orbax checkpoints in {d}")
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
-        if hasattr(x, "dtype")
-        else x,
-        abstract_state,
-    )
+    def _abstract(x):
+        if not hasattr(x, "dtype"):
+            return x
+        # Preserve the template leaf's sharding so a model-parallel state
+        # (Megatron-placed dense kernels, see parallel.mesh) restores onto
+        # the same mesh layout instead of single-device arrays.
+        sharding = x.sharding if isinstance(x, jax.Array) else None
+        return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding)
+
+    abstract = jax.tree_util.tree_map(_abstract, abstract_state)
     state = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
     meta_path = d / f"metadata_{step}.json"
     metadata = json.loads(meta_path.read_text()) if meta_path.exists() else {}

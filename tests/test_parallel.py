@@ -332,3 +332,40 @@ def test_evaluate_fused_covers_all_val_sites(site_table):
         fe, fe, params, table, val_idx[:16], 8, jax.random.key(7), None, beta=1.0
     )
     assert avg["val_loss"] != avg_trunc["val_loss"]
+
+
+def test_orbax_restore_preserves_model_sharding(tmp_path):
+    """Orbax auto-resume must round-trip a Megatron-placed TrainState: the
+    restored dense kernels keep their NamedSharding on the 2-D mesh (a
+    shardingless restore would silently demote --model-parallel --resume
+    runs to single-device arrays)."""
+    from livae_tpu.parallel.mesh import (
+        dense_param_specs,
+        make_mesh2d,
+        place_with_specs,
+    )
+    from livae_tpu.utils.orbax_io import restore_train_state, save_train_state
+
+    model = RVAE(latent_dim=4, patch_size=P)
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, P, P, 1)),
+    )
+    mesh2 = make_mesh2d(4, 2)
+    specs = dense_param_specs(params, n_model=2, min_dim=256)
+    params = place_with_specs(params, mesh2, specs)
+    tx = make_optimizer(1e-3, optimizer="adamw", weight_decay=1e-5)
+    state = TrainState.create(params, tx)
+
+    save_train_state(tmp_path / "ck", 3, state, {"epoch": 3})
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored, meta = restore_train_state(tmp_path / "ck", template)
+    assert meta["epoch"] == 3
+
+    k_src = state.params["params"]["encoder"]["fc_mu"]["dense"]["kernel"]
+    k_new = restored.params["params"]["encoder"]["fc_mu"]["dense"]["kernel"]
+    assert k_new.sharding == k_src.sharding, (
+        f"restore dropped the model sharding: {k_new.sharding}"
+    )
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
