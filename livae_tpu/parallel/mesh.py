@@ -54,6 +54,7 @@ __all__ = [
     "fused_epoch_shardings",
     "dense_param_specs",
     "place_with_specs",
+    "setup_mesh_from_flags",
     "tp_boundary",
     "resolve_num_devices",
 ]
@@ -154,6 +155,67 @@ def place_with_specs(tree: Any, mesh: Mesh, specs: Any) -> Any:
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
     )
+
+
+def setup_mesh_from_flags(
+    num_devices: str | int | None,
+    model_parallel: int,
+    batch_size: int,
+    params: Any,
+    stack,
+) -> tuple[Mesh | None, int, Any]:
+    """Shared trainer-CLI mesh setup for --num-devices / --model-parallel.
+
+    Returns (mesh, n_data, params): a 1-D data mesh, or — when
+    model_parallel > 1 — a 2-D (data, model) mesh with the large dense
+    kernels Megatron-placed via `dense_param_specs`. The context mesh the
+    models' `tp_boundary` collectives resolve against is entered on
+    `stack` (a contextlib.ExitStack owned by the caller), so it is
+    RESTORED when the trainer returns instead of leaking a process-global
+    mesh into whatever runs next (sweep drivers, train_rvae_with_best,
+    notebooks). Raises SystemExit on inconsistent flags, matching the
+    trainers' CLI error style.
+    """
+    n_devices = resolve_num_devices(num_devices)
+    mp = max(1, int(model_parallel))
+    if n_devices % mp:
+        raise SystemExit(
+            f"--num-devices {n_devices} must be divisible by "
+            f"--model-parallel {mp}"
+        )
+    n_data = n_devices // mp
+    if n_devices == 1:
+        return None, 1, params
+    if batch_size % n_data:
+        raise SystemExit(
+            f"--batch-size {batch_size} must be divisible by the "
+            f"data-parallel ways ({n_data} = --num-devices/--model-parallel)"
+        )
+    if mp == 1:
+        mesh = make_mesh(n_devices)
+        print(f"Data-parallel mesh: {n_devices} devices {mesh.shape}")
+        return mesh, n_data, params
+    mesh = make_mesh2d(n_data, mp)
+    stack.enter_context(jax.set_mesh(mesh))
+    specs = dense_param_specs(params, n_model=mp)
+    params = place_with_specs(params, mesh, specs)
+    n_sharded = sum(
+        1
+        for s in jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda x: isinstance(x, P)
+        )
+        if s != P()
+    )
+    print(
+        f"2-D mesh: {n_data} data x {mp} model {mesh.shape}; "
+        f"{n_sharded} model-sharded dense params"
+    )
+    if n_sharded == 0:
+        print(
+            "  note: no dense kernel is large enough to shard at this "
+            "patch size — running as pure data parallelism"
+        )
+    return mesh, n_data, params
 
 
 def tp_boundary(x: jax.Array) -> jax.Array:

@@ -19,6 +19,7 @@ scripts load them directly.
 from __future__ import annotations
 
 import argparse
+from contextlib import ExitStack
 import os
 import time
 from datetime import datetime
@@ -31,15 +32,7 @@ from _common import _vis_forward, add_data_flags, resolve_images, split_indices
 
 from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset, default_transform
 from livae_tpu.models.rvae import RVAE
-from jax.sharding import PartitionSpec
-
-from livae_tpu.parallel.mesh import (
-    dense_param_specs,
-    make_mesh,
-    make_mesh2d,
-    place_with_specs,
-    resolve_num_devices,
-)
+from livae_tpu.parallel.mesh import setup_mesh_from_flags
 from livae_tpu.train.engine import (
     MetricLogger,
     evaluate_fused,
@@ -81,6 +74,13 @@ def _state_digest(state) -> str:
 
 
 def run_training(args) -> dict:
+    # the ExitStack scopes the --model-parallel context mesh to this run
+    # (see livae_tpu.parallel.mesh.setup_mesh_from_flags)
+    with ExitStack() as _mesh_scope:
+        return _run_training(args, _mesh_scope)
+
+
+def _run_training(args, _mesh_scope) -> dict:
     images = resolve_images(args)
 
     normalize = not getattr(args, "no_per_patch_norm", False)
@@ -143,46 +143,12 @@ def run_training(args) -> dict:
     # With --model-parallel M > 1 the mesh is 2-D (data x model) and the
     # large post-flatten dense kernels shard Megatron-style on "model"
     # (livae_tpu.parallel.mesh.dense_param_specs); proven step-for-step
-    # identical to single-device in tests/test_parallel.py.
-    n_devices = resolve_num_devices(args.num_devices)
-    mp = max(1, args.model_parallel)
-    if n_devices % mp:
-        raise SystemExit(
-            f"--num-devices {n_devices} must be divisible by "
-            f"--model-parallel {mp}"
-        )
-    n_data = n_devices // mp
-    mesh = None
-    if n_devices > 1:
-        if args.batch_size % n_data:
-            raise SystemExit(
-                f"--batch-size {args.batch_size} must be divisible by the "
-                f"data-parallel ways ({n_data} = --num-devices/--model-parallel)"
-            )
-        if mp > 1:
-            mesh = make_mesh2d(n_data, mp)
-            # install the context mesh the models' tp_boundary collectives
-            # resolve against (no-op elsewhere)
-            jax.set_mesh(mesh)
-            specs = dense_param_specs(params, n_model=mp)
-            params = place_with_specs(params, mesh, specs)
-            n_sharded = sum(
-                1 for s in jax.tree_util.tree_leaves(
-                    specs, is_leaf=lambda x: isinstance(x, PartitionSpec))
-                if s != PartitionSpec()
-            )
-            print(
-                f"2-D mesh: {n_data} data x {mp} model {mesh.shape}; "
-                f"{n_sharded} model-sharded dense params"
-            )
-            if n_sharded == 0:
-                print(
-                    "  note: no dense kernel is large enough to shard at "
-                    "this patch size — running as pure data parallelism"
-                )
-        else:
-            mesh = make_mesh(n_devices)
-            print(f"Data-parallel mesh: {n_devices} devices {mesh.shape}")
+    # identical to single-device in tests/test_parallel.py. The context
+    # mesh is scoped to this run via `_mesh_scope` (restored on return).
+    mesh, n_data, params = setup_mesh_from_flags(
+        args.num_devices, args.model_parallel, args.batch_size, params,
+        _mesh_scope,
+    )
     state = TrainState.create(params, tx)
 
     grad_max_norm = args.grad_max_norm if args.grad_max_norm is not None else 20.0

@@ -11,6 +11,7 @@ checkpoints in the reference torch.save layout).
 from __future__ import annotations
 
 import argparse
+from contextlib import ExitStack
 import time
 from datetime import datetime
 from pathlib import Path
@@ -22,15 +23,7 @@ from _common import _vis_forward, add_data_flags, resolve_images, split_indices
 
 from livae_tpu.data.datasets import AdaptiveLatticeDataset, default_transform
 from livae_tpu.models.vae import VAE
-from jax.sharding import PartitionSpec
-
-from livae_tpu.parallel.mesh import (
-    dense_param_specs,
-    make_mesh,
-    make_mesh2d,
-    place_with_specs,
-    resolve_num_devices,
-)
+from livae_tpu.parallel.mesh import setup_mesh_from_flags
 from livae_tpu.train.engine import (
     MetricLogger,
     evaluate_fused,
@@ -45,6 +38,12 @@ from livae_tpu.utils.checkpoint import save_reference_checkpoint, vae_spec
 
 
 def run_training(args) -> dict:
+    # the ExitStack scopes the --model-parallel context mesh to this run
+    with ExitStack() as _mesh_scope:
+        return _run_training(args, _mesh_scope)
+
+
+def _run_training(args, _mesh_scope) -> dict:
     images = resolve_images(args)
 
     normalize = not getattr(args, "no_per_patch_norm", False)
@@ -86,41 +85,13 @@ def run_training(args) -> dict:
     )
     tx = make_optimizer(schedule, optimizer="adam")
 
-    # Mesh setup mirrors train_rvae.py: 1-D data-parallel, or 2-D
+    # Mesh setup shared with train_rvae.py: 1-D data-parallel, or 2-D
     # (data x model) with Megatron-sharded large dense kernels when
-    # --model-parallel > 1 (livae_tpu.parallel.mesh.dense_param_specs).
-    n_devices = resolve_num_devices(args.num_devices)
-    mp = max(1, args.model_parallel)
-    if n_devices % mp:
-        raise SystemExit(
-            f"--num-devices {n_devices} must be divisible by "
-            f"--model-parallel {mp}"
-        )
-    n_data = n_devices // mp
-    mesh = None
-    if n_devices > 1:
-        if args.batch_size % n_data:
-            raise SystemExit(
-                f"--batch-size {args.batch_size} must be divisible by the "
-                f"data-parallel ways ({n_data} = --num-devices/--model-parallel)"
-            )
-        if mp > 1:
-            mesh = make_mesh2d(n_data, mp)
-            jax.set_mesh(mesh)  # context for the models' tp_boundary
-            specs = dense_param_specs(params, n_model=mp)
-            params = place_with_specs(params, mesh, specs)
-            n_sharded = sum(
-                1 for s in jax.tree_util.tree_leaves(
-                    specs, is_leaf=lambda x: isinstance(x, PartitionSpec))
-                if s != PartitionSpec()
-            )
-            print(
-                f"2-D mesh: {n_data} data x {mp} model {mesh.shape}; "
-                f"{n_sharded} model-sharded dense params"
-            )
-        else:
-            mesh = make_mesh(n_devices)
-            print(f"Data-parallel mesh: {n_devices} devices {mesh.shape}")
+    # --model-parallel > 1; the context mesh is scoped to this run.
+    mesh, n_data, params = setup_mesh_from_flags(
+        args.num_devices, args.model_parallel, args.batch_size, params,
+        _mesh_scope,
+    )
     state = TrainState.create(params, tx)
 
     train_step = make_fused_vae_train_step(

@@ -85,29 +85,57 @@ def test_accuracy_program_quick(tmp_path):
     assert row["config"]["beta"] == 1.0
 
 
+def _train_loss(stdout: str) -> float:
+    """Parse the epoch line's 'train X' loss from a trainer's stdout.
+
+    The train loss is the bit-comparable statistic across device layouts:
+    same seed => same idx batches and step keys => identical global-mean
+    loss (engine identity). Val loss is NOT comparable here — the mesh
+    path rounds val_bs to the data ways, so the equal-weighted batch
+    split differs from the single-device run.
+    """
+    import re
+
+    m = re.search(r"\btrain ([0-9.]+)", stdout)
+    assert m, stdout[-2000:]
+    return float(m.group(1))
+
+
 @pytest.mark.slow
 def test_train_rvae_model_parallel_cli(tmp_path):
     """--model-parallel 2 over 8 virtual CPU devices: the production CLI
     builds the 2-D (data x model) mesh, Megatron-shards the large dense
-    kernels, trains, and writes a loadable checkpoint (engine-level
-    identity vs single device is pinned in tests/test_parallel.py)."""
+    kernels, trains, writes a loadable checkpoint, AND reproduces the
+    single-device val loss — CLI-level identity, catching wiring
+    regressions (e.g. a dropped set_mesh) the engine tests can't see."""
+    common = [
+        "--synthetic", "1", "--synthetic-size", "512",
+        "--patch-size", "32", "--padding", "8",
+        "--batch-size", "64", "--latent-dim", "8",
+        "--epochs", "1", "--no-tensorboard", "--cpu",
+        # f32 compute: under the default bf16 policy the layout-dependent
+        # reduction order exceeds the identity tolerance
+        "--no-amp",
+    ]
     ckpt = tmp_path / "rvae_mp.pt"
     r = _run(
-        [
-            "train_rvae.py", "--cpu",
-            "--synthetic", "1", "--synthetic-size", "512",
-            "--patch-size", "32", "--padding", "8",
-            "--batch-size", "64", "--latent-dim", "8",
-            "--epochs", "1", "--no-tensorboard",
-            "--num-devices", "8", "--model-parallel", "2",
-            "--checkpoint", str(ckpt),
-        ],
+        ["train_rvae.py", *common,
+         "--num-devices", "8", "--model-parallel", "2",
+         "--checkpoint", str(ckpt)],
         timeout=900,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "2-D mesh: 4 data x 2 model" in r.stdout, r.stdout[-2000:]
     path = ckpt if ckpt.exists() else ckpt.with_name("rvae_mp_final.pt")
     assert path.exists()
+
+    r1 = _run(
+        ["train_rvae.py", *common,
+         "--checkpoint", str(tmp_path / "rvae_1dev.pt")],
+        timeout=900,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert _train_loss(r.stdout) == pytest.approx(_train_loss(r1.stdout), rel=1e-4)
 
     sys.path.insert(0, str(SCRIPTS))
     try:
