@@ -1,3 +1,10 @@
+from .stacked import (
+    make_stacked_fns,
+    run_search_stacked,
+    set_stacked_hyperparams,
+    stack_trees,
+    unstack_tree,
+)
 from .search import (
     ASHAScheduler,
     PBTScheduler,

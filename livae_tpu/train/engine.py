@@ -312,6 +312,7 @@ def make_fused_rvae_train_step(
     grad_max_norm: float = 20.0,
     normalize: bool = True,
     mesh=None,
+    return_impl: bool = False,
 ):
     """Whole-epoch fused rVAE training: extraction + N optimizer steps, one jit.
 
@@ -378,6 +379,10 @@ def make_fused_rvae_train_step(
         metrics = dict(zip(metric_names, acc / n_sub))
         return state, metrics
 
+    if return_impl:
+        # un-jitted body for composition (e.g. vmapped stacked trials,
+        # livae_tpu.sweep.stacked); mesh semantics do not apply
+        return step_impl
     return _jit_fused(step_impl, mesh)
 
 
@@ -393,6 +398,7 @@ def make_fused_vae_train_step(
     grad_max_norm: float = 5.0,
     normalize: bool = True,
     mesh=None,
+    return_impl: bool = False,
 ):
     """Whole-epoch fused generic training (unpaired batches, VAELoss).
 
@@ -454,6 +460,10 @@ def make_fused_vae_train_step(
         )
         return state, dict(zip(metric_names, acc / n_sub))
 
+    if return_impl:
+        # un-jitted body for composition (e.g. vmapped stacked trials,
+        # livae_tpu.sweep.stacked); mesh semantics do not apply
+        return step_impl
     return _jit_fused(step_impl, mesh)
 
 
@@ -582,6 +592,7 @@ def make_fused_eval(
     canonical_weight: float = 0.0,
     normalize: bool = True,
     mesh=None,
+    return_impl: bool = False,
 ):
     """Fused generic eval: extraction + eval metrics over [S, B] indices.
 
@@ -610,6 +621,8 @@ def make_fused_eval(
 
         return jax.lax.map(body, jnp.arange(idx_batches.shape[0]))
 
+    if return_impl:
+        return eval_impl  # un-jitted body (sweep.stacked)
     return _jit_fused(eval_impl, mesh, donate_state=False, state_out=False)
 
 
@@ -624,6 +637,7 @@ def make_fused_rvae_eval(
     canonical_weight: float = 0.2,
     normalize: bool = True,
     mesh=None,
+    return_impl: bool = False,
 ):
     """Fused paired rVAE eval: paired extraction + eval metrics, one dispatch.
 
@@ -651,6 +665,8 @@ def make_fused_rvae_eval(
 
         return jax.lax.map(body, jnp.arange(idx_batches.shape[0]))
 
+    if return_impl:
+        return eval_impl  # un-jitted body (sweep.stacked)
     return _jit_fused(eval_impl, mesh, donate_state=False, state_out=False)
 
 

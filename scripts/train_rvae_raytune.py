@@ -52,6 +52,13 @@ from livae_tpu.sweep import (
     get_best_result,
     loguniform,
     run_search,
+    run_search_stacked,
+)
+from livae_tpu.sweep.stacked import (
+    make_stacked_fns,
+    set_stacked_hyperparams,
+    stack_trees,
+    unstack_tree,
 )
 from livae_tpu.train.engine import (
     evaluate_fused,
@@ -251,6 +258,170 @@ def make_trainable(args, images):
     return train_rvae_tune
 
 
+def make_stacked_trainable(args, images):
+    """K-config vmapped trainable for run_search_stacked.
+
+    The TPU-native third executor (SURVEY.md §2c "vmapped multi-config
+    training"): one jit trains every trial in the stack simultaneously —
+    per-lane lr/weight_decay ride the injected optax hyperparams, beta/
+    gamma are vmapped step args, and each lane gets its own init seed.
+    Per-epoch semantics match _trial_body exactly (same cosine lr, same
+    beta annealing, same per-trial seeds), so a stacked sweep is the same
+    experiment as a sequential one, just K-at-a-time.
+    """
+    import math
+
+    import numpy as np
+    import optax
+
+    dataset_cache: dict[tuple, AdaptiveLatticeDataset] = {}
+    fns_cache: dict[tuple, tuple] = {}
+    ckpt_dir = Path(args.ray_results_dir) / args.experiment_name / "checkpoints"
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    trial_counter = [0]
+
+    def get_dataset(patch_size, padding, normalize):
+        key = (patch_size, padding, normalize)
+        if key not in dataset_cache:
+            dataset_cache[key] = AdaptiveLatticeDataset(
+                images, patch_size=patch_size, padding=padding,
+                transform=default_transform, normalize=normalize,
+            )
+        return dataset_cache[key]
+
+    def get_fns(patch_size, padding, latent_dim, grad_max_norm, normalize,
+                dataset):
+        key = (patch_size, padding, latent_dim, grad_max_norm, normalize)
+        if key not in fns_cache:
+            model = RVAE(
+                latent_dim=latent_dim, patch_size=patch_size,
+                compute_dtype="bfloat16",
+            )
+            tx = optax.inject_hyperparams(optax.adamw)(
+                learning_rate=1e-3, weight_decay=1e-5
+            )
+            step_impl = make_fused_vae_train_step(
+                model, tx, patch_size=patch_size, padding=padding,
+                cfg=dataset.transform, margin=dataset._margin,
+                grad_max_norm=grad_max_norm, normalize=normalize,
+                return_impl=True,
+            )
+            eval_impl = make_fused_eval(
+                model, patch_size=patch_size, padding=padding,
+                margin=dataset._margin, normalize=normalize,
+                return_impl=True,
+            )
+            fns_cache[key] = (model, tx, *make_stacked_fns(step_impl, eval_impl))
+        return fns_cache[key]
+
+    def stacked_trainable(configs, report):
+        cfg0 = configs[0]
+        K = len(configs)
+        trial_ids = list(range(trial_counter[0], trial_counter[0] + K))
+        trial_counter[0] += K
+
+        normalize = bool(cfg0.get("normalize", True))
+        patch_size = int(cfg0["patch_size"])
+        latent_dim = int(cfg0["latent_dim"])
+        epochs = int(cfg0["epochs"])
+        dataset = get_dataset(patch_size, int(cfg0["padding"]), normalize)
+        model, tx, stacked_step, stacked_eval = get_fns(
+            patch_size, int(cfg0["padding"]), latent_dim,
+            float(cfg0.get("grad_max_norm") or 20.0), normalize, dataset,
+        )
+        spec = rvae_spec(patch_size, latent_dim)
+
+        train_idx, val_idx = split_indices(
+            len(dataset), cfg0["val_split"], seed=0
+        )
+        if len(train_idx) == 0:
+            raise ValueError("empty train split; use larger frames")
+        batch_size = min(int(cfg0["batch_size"]), len(train_idx))
+        steps = max(1, len(train_idx) // batch_size)
+        train_idx = jnp.asarray(train_idx)
+        frames_padded, img_idx_dev, coords_dev, _ = dataset.device_site_table
+
+        # per-lane states with the thread path's per-trial seeds
+        lane_keys, states = [], []
+        for tid in trial_ids:
+            key, ik, sk = jax.random.split(jax.random.key(tid), 3)
+            lane_keys.append(key)
+            params = model.init(
+                {"params": ik, "sample": sk},
+                jnp.zeros((1, patch_size, patch_size, 1)),
+            )
+            states.append(TrainState.create(params, tx))
+        state = stack_trees(states)
+
+        # the val batch split is shared; stack it across lanes
+        val_bs = min(batch_size, max(1, len(val_idx)))
+        n_full = max(1, len(val_idx) // val_bs)
+        val_main = jnp.asarray(
+            np.asarray(val_idx)[: n_full * val_bs], jnp.int32
+        ).reshape(n_full, val_bs)
+        val_idxK = jnp.stack([val_main] * K)
+
+        betas_cfg = [float(c["beta"]) for c in configs]
+        gammas = jnp.asarray(
+            [float(c.get("gamma") or 0.0) for c in configs], jnp.float32
+        )
+        for epoch in range(epochs):
+            anneal = 1.0
+            if cfg0.get("beta_annealing"):
+                anneal = min(
+                    1.0, (epoch + 1) / max(cfg0["beta_annealing_epochs"], 1)
+                )
+            betas = jnp.asarray(
+                [b * anneal for b in betas_cfg], jnp.float32
+            )
+            lrs = [
+                0.5 * c["lr"] * (1.0 + math.cos(math.pi * epoch / max(epochs, 1)))
+                for c in configs
+            ]
+            wds = [c["weight_decay"] for c in configs]
+            state = set_stacked_hyperparams(state, lrs, wds)
+
+            ek_l, vk_l, kstep_l, idx_l = [], [], [], []
+            for i in range(K):
+                lane_keys[i], ek, vk = jax.random.split(lane_keys[i], 3)
+                kperm, kstep = jax.random.split(ek)
+                perm = jax.random.permutation(kperm, len(train_idx))
+                idx_l.append(train_idx[perm[: steps * batch_size]].reshape(steps, -1))
+                kstep_l.append(kstep)
+                vk_l.append(vk)
+            state, tm = stacked_step(
+                state, frames_padded, img_idx_dev, coords_dev,
+                jnp.stack(idx_l), jnp.stack(kstep_l), betas, gammas,
+            )
+            vm = stacked_eval(
+                state.params, frames_padded, img_idx_dev, coords_dev,
+                val_idxK, jnp.stack(vk_l), betas, gammas,
+            )
+            tm_host = metrics_to_host(tm)   # {name: [K]}
+            vm_host = metrics_to_host(vm)   # {name: [K, S]}
+
+            params_by_lane = unstack_tree(state.params, K)
+            for i in range(K):
+                val_loss = float(np.mean(vm_host["loss"][i]))
+                ckpt_path = str(ckpt_dir / f"trial_{trial_ids[i]}.pt")
+                save_reference_checkpoint(
+                    ckpt_path, params_by_lane[i], spec,
+                    epoch=epoch, best_val=val_loss,
+                    args={k: v for k, v in configs[i].items()
+                          if not isinstance(v, (list, dict))},
+                )
+                report(
+                    i, epoch + 1,
+                    loss=val_loss,
+                    val_loss=val_loss,
+                    train_loss=float(tm_host["loss"][i]),
+                    val_psnr=float(np.mean(vm_host["psnr"][i])),
+                    checkpoint=ckpt_path,
+                )
+
+    return stacked_trainable
+
+
 def process_trainable(data_spec, config, report):
     """Module-level (picklable) trial for the spawn-based process executor.
 
@@ -395,22 +566,48 @@ def run_hyperparameter_search(args) -> None:
             default_trial_env,
             force_platform="cpu" if getattr(args, "cpu", False) else None,
         )
-    else:
+    elif args.stacked <= 1:
         trainable = make_trainable(args, resolve_images(args))
-    trials = run_search(
-        trainable,
-        param_space,
-        num_samples=args.num_samples,
-        scheduler=scheduler,
-        metric="loss",
-        mode="min",
-        results_dir=results_dir,
-        seed=args.seed,
-        search_alg=args.search_alg,
-        max_concurrent=args.max_concurrent,
-        executor=executor,
-        trial_env=trial_env,
-    )
+    else:
+        trainable = None  # stacked mode builds its own trainable below
+
+    if args.stacked > 1:
+        # vmapped stacked trials: K configs per jit (SURVEY.md §2c).
+        # Early-stopping schedulers don't apply inside a stack.
+        if scheduler is not None:
+            print(
+                f"note: --stacked ignores --scheduler {args.scheduler} "
+                "(lanes share one compiled program; every trial runs its "
+                "full epoch budget)"
+            )
+        if executor is not None:
+            print(f"note: --stacked replaces --executor {executor}")
+        trials = run_search_stacked(
+            make_stacked_trainable(args, resolve_images(args)),
+            param_space,
+            num_samples=args.num_samples,
+            stack_size=args.stacked,
+            metric="loss",
+            mode="min",
+            results_dir=results_dir,
+            seed=args.seed,
+            search_alg=args.search_alg,
+        )
+    else:
+        trials = run_search(
+            trainable,
+            param_space,
+            num_samples=args.num_samples,
+            scheduler=scheduler,
+            metric="loss",
+            mode="min",
+            results_dir=results_dir,
+            seed=args.seed,
+            search_alg=args.search_alg,
+            max_concurrent=args.max_concurrent,
+            executor=executor,
+            trial_env=trial_env,
+        )
 
     best = get_best_result(trials, metric="loss", mode="min")
     print("\n" + "=" * 80)
@@ -487,6 +684,15 @@ def build_argparser() -> argparse.ArgumentParser:
         help="Trial executor: thread (default when --max-concurrent > 1) "
         "shares the chip; process spawns one worker per trial with "
         "per-slot chip pinning (multi-chip hosts)",
+    )
+    parser.add_argument(
+        "--stacked",
+        type=int,
+        default=0,
+        help="Train K trials simultaneously in ONE jit via vmap over a "
+        "trial axis (TPU-native trial packing: per-lane lr/wd/beta/gamma/"
+        "seed; structural params group into separate stacks). Replaces "
+        "--executor/--scheduler; tune K so K x batch-size fits HBM",
     )
     parser.add_argument("--cpus-per-trial", type=int, default=8, help=argparse.SUPPRESS)
     parser.add_argument("--gpus-per-trial", type=float, default=0.25, help=argparse.SUPPRESS)

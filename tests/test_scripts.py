@@ -291,6 +291,46 @@ def test_sweep_cli_process_executor(tmp_path):
 
 
 @pytest.mark.slow
+def test_sweep_cli_stacked_trials(tmp_path):
+    """--stacked 2: the sweep CLI trains trials in vmapped stacks (one jit
+    per structurally-homogeneous group), writes per-trial checkpoints and
+    the same results.json schema as the other executors."""
+    best = tmp_path / "best_config.json"
+    r = _run(
+        [
+            "train_rvae_raytune.py", "--cpu",
+            "--synthetic", "1", "--synthetic-size", "512",
+            "--patch-size", "32", "--padding", "8",
+            "--batch-sizes", "64", "--latent-dims", "8",
+            "--epochs", "2", "--num-samples", "4", "--stacked", "2",
+            "--scheduler", "none", "--search-alg", "random",
+            "--experiment-name", "stacked_smoke",
+            "--ray-results-dir", str(tmp_path / "ray_results"),
+            "--save-best-config", str(best),
+        ],
+        timeout=1500,
+    )
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    results = json.loads(
+        (tmp_path / "ray_results" / "stacked_smoke" / "results.json").read_text()
+    )
+    assert len(results) == 4
+    assert all(t["status"] == "done" for t in results), results
+    assert all(len(t["history"]) == 2 for t in results)
+    assert all(
+        "val_loss" in m and "train_loss" in m
+        for t in results for m in t["history"]
+    )
+    ckpts = sorted(
+        p.name for p in (tmp_path / "ray_results" / "stacked_smoke" /
+                         "checkpoints").glob("trial_*.pt")
+    )
+    assert ckpts == [f"trial_{i}.pt" for i in range(4)], ckpts
+    cfg = json.loads(best.read_text())
+    assert "lr" in cfg
+
+
+@pytest.mark.slow
 def test_production_numerics_elbo_gate(tmp_path):
     """Production numerics gate: fast 3-shear + bf16 vs exact f32 on
     TRAINED weights, identical batches/noise, full rVAE objective.
