@@ -16,7 +16,7 @@ echo "=== slow half 1 (parity + parallel + engine) ==="
 python -m pytest tests/test_elbo_parity.py tests/test_parallel.py tests/test_train.py -m slow -q
 
 echo "=== slow half 2 (data + scripts + sweep) ==="
-python -m pytest tests/test_data.py tests/test_scripts.py tests/test_sweep.py -m slow -q
+python -m pytest tests/test_data.py tests/test_scripts.py tests/test_sweep.py tests/test_stacked.py -m slow -q
 
 echo "=== 8-device multichip dryrun ==="
 python __graft_entry__.py 8
