@@ -369,3 +369,40 @@ def test_orbax_restore_preserves_model_sharding(tmp_path):
     )
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_setup_mesh_from_flags(tmp_path):
+    """Shared trainer mesh setup: flag validation, 1-device passthrough,
+    1-D data mesh, and 2-D Megatron placement with a scoped context mesh
+    that is restored when the stack unwinds."""
+    from contextlib import ExitStack
+
+    from livae_tpu.parallel.mesh import setup_mesh_from_flags
+
+    model = RVAE(latent_dim=4, patch_size=P)
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, P, P, 1)),
+    )
+
+    with ExitStack() as stack:
+        mesh, n_data, p2 = setup_mesh_from_flags("1", 1, 64, params, stack)
+        assert mesh is None and n_data == 1 and p2 is params
+
+        mesh, n_data, _ = setup_mesh_from_flags("8", 1, 64, params, stack)
+        assert mesh.shape == {"data": 8} and n_data == 8
+
+    with pytest.raises(SystemExit):  # mp must divide num_devices
+        setup_mesh_from_flags("8", 3, 64, params, ExitStack())
+    with pytest.raises(SystemExit):  # batch must divide data ways
+        setup_mesh_from_flags("8", 2, 63, params, ExitStack())
+
+    with ExitStack() as stack:
+        mesh, n_data, p2 = setup_mesh_from_flags("8", 2, 64, params, stack)
+        assert mesh.shape == {"data": 4, "model": 2} and n_data == 4
+        # context mesh installed for tp_boundary
+        assert jax.sharding.get_mesh().axis_names == ("data", "model")
+        k = p2["params"]["encoder"]["fc_mu"]["dense"]["kernel"]
+        assert "model" in str(k.sharding.spec)
+    # restored on exit — no process-global leak
+    assert jax.sharding.get_mesh().axis_names == ()
