@@ -406,3 +406,41 @@ def test_setup_mesh_from_flags(tmp_path):
         assert "model" in str(k.sharding.spec)
     # restored on exit — no process-global leak
     assert jax.sharding.get_mesh().axis_names == ()
+
+
+def test_spmd_partitioner_edgepad_divergence_sentinel():
+    """Sentinel for the XLA SPMD miscompile tp_boundary firewalls.
+
+    Resharding (value-preserving by definition) a size-2 spatial dim of
+    the edge-padded, scatter-corrected fused upconv onto the model axis
+    produces wrong VALUES on the CPU backend (observed max-abs ~368 on
+    jax 0.9.0) — the reason the models gather the model axis at every
+    flatten/fc seam instead of letting GSPMD propagate it into the conv
+    stack. If this test starts hitting the skip below, the installed
+    XLA has fixed the partitioner and tp_boundary is no longer
+    load-bearing for correctness (it remains the right Megatron
+    collective placement for performance).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    from livae_tpu.ops.upconv import fused_upsample_reflect_conv
+    from livae_tpu.parallel.mesh import make_mesh2d
+
+    mesh = make_mesh2d(4, 2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 2, 2, 256), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 256, 16)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+
+    f = jax.jit(fused_upsample_reflect_conv)
+    ref = f(jax.device_put(x, NamedSharding(mesh, PS())), w, b)
+    sharded = f(
+        jax.device_put(x, NamedSharding(mesh, PS(None, "model", None, None))),
+        w, b,
+    )
+    div = float(jnp.max(jnp.abs(ref - sharded)))
+    if div < 1e-5:
+        pytest.skip(
+            "XLA SPMD partitioner fixed: sharded == replicated; "
+            "tp_boundary is no longer load-bearing for correctness"
+        )
+    assert div > 1.0, f"divergence changed character: {div}"
