@@ -10,6 +10,8 @@
 # 1. `scripts/train_rvae_raytune.py` — TPE+ASHA sweep over
 #    (β, γ, lr, latent_dim, weight_decay, ±per-patch-norm) on the vacancy
 #    regime → `ray_results/vacancy_sweep_r3/results.json`
+#    (round 4 added `--stacked K`: vmapped stacked trials train K configs
+#    per jit — same results.json schema, so steps 2-3 apply unchanged)
 # 2. `scripts/accuracy_program.py --configs-json --top-k 3 --seeds 3` —
 #    re-train the top-k by val_loss with multiple seeds and score what
 #    val_loss cannot see (clustering ARI, linear probe, vacancy AUC,
