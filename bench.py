@@ -103,6 +103,7 @@ def main() -> None:
     from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset
     from livae_tpu.data.synthetic import synthetic_mos2_frame
     from livae_tpu.models.rvae import RVAE
+    from livae_tpu.models import init_params
     from livae_tpu.train.engine import (
         make_fused_encode,
         make_fused_rvae_eval,
@@ -118,7 +119,7 @@ def main() -> None:
 
     model = RVAE(latent_dim=LATENT, patch_size=PATCH, compute_dtype="bfloat16")
     key = jax.random.key(0)
-    params = model.init(
+    params = init_params(model, 
         {"params": jax.random.key(1), "sample": jax.random.key(2)},
         jnp.zeros((1, PATCH, PATCH, 1)),
     )

@@ -14,6 +14,27 @@ The public surface mirrors the reference package's curated exports
 sharding helpers).
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache, on by default (LIVAE_JAX_CACHE=0 to
+# disable, LIVAE_JAX_CACHE_DIR to relocate). Repeated runs of the same
+# entry point skip recompiling the fused train/eval steps — on a
+# remote-tunnel TPU that is tens of seconds per jit, per process (the
+# sweep CLI's process executor spawns one process per trial).
+if _os.environ.get("LIVAE_JAX_CACHE", "1") != "0":  # pragma: no branch
+    _cache_dir = _os.environ.get(
+        "LIVAE_JAX_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "livae_tpu", "jax"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort, never fatal
+        pass
+
 from .data.datasets import (
     AdaptiveLatticeDataset,
     PairedAdaptiveLatticeDataset,

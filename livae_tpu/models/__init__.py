@@ -1,2 +1,16 @@
+import jax
+
 from .rvae import RVAE, Decoder, Encoder, RotationSTN
 from .vae import VAE, VAEDecoder, VAEEncoder
+
+
+def init_params(model, rngs, *args):
+    """Initialize a model's params under one jit.
+
+    Unjitted flax ``model.init`` traces eagerly, dispatching thousands of
+    host->device ops one at a time; on a remote-tunnel TPU each dispatch
+    pays the ~20 ms round trip, turning init into minutes. One jitted
+    call compiles the whole init into a single dispatch (measured 215 s
+    -> 9 s for the production RVAE through the axon tunnel).
+    """
+    return jax.jit(model.init)(rngs, *args)

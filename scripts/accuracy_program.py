@@ -153,6 +153,7 @@ def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache,
     import jax.numpy as jnp
 
     from livae_tpu.models.rvae import RVAE
+    from livae_tpu.models import init_params
     from livae_tpu.train.engine import make_fused_encode, make_fused_rvae_train_step
     from livae_tpu.train.state import (
         TrainState,
@@ -169,7 +170,7 @@ def run_config(cfg, train_ds, eval_ds, eval_labels, eval_mask, args, step_cache,
     )
     key = jax.random.key(args.seed if seed is None else seed)
     key, ik, sk = jax.random.split(key, 3)
-    params = model.init(
+    params = init_params(model, 
         {"params": ik, "sample": sk},
         jnp.zeros((1, args.patch_size, args.patch_size, 1)),
     )

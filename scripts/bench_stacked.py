@@ -58,6 +58,7 @@ def main() -> None:
     from _common import resolve_images, split_indices
     from livae_tpu.data.datasets import AdaptiveLatticeDataset, default_transform
     from livae_tpu.models.rvae import RVAE
+    from livae_tpu.models import init_params
     from livae_tpu.sweep.stacked import (
         make_stacked_fns,
         set_stacked_hyperparams,
@@ -103,7 +104,7 @@ def main() -> None:
 
     def init_state(seed):
         k, ik, sk = jax.random.split(jax.random.key(seed), 3)
-        params = model.init(
+        params = init_params(model, 
             {"params": ik, "sample": sk},
             jnp.zeros((1, args.patch_size, args.patch_size, 1)),
         )

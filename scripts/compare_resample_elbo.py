@@ -30,6 +30,7 @@ from _common import add_data_flags, maybe_force_cpu, resolve_images, split_indic
 
 from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset, default_transform
 from livae_tpu.models.rvae import RVAE
+from livae_tpu.models import init_params
 from livae_tpu.train.engine import make_fused_rvae_train_step, make_rvae_eval_step
 from livae_tpu.train.state import TrainState, make_optimizer
 from livae_tpu.utils.checkpoint import load_checkpoint, rvae_spec, torch_state_to_params
@@ -48,7 +49,7 @@ def full_objective(model, params, batches, beta, gamma, canonical_weight, key):
 def short_train(model, dataset, train_idx, epochs, batch_size, beta, gamma, seed):
     key = jax.random.key(seed)
     key, ik, sk = jax.random.split(key, 3)
-    params = model.init(
+    params = init_params(model, 
         {"params": ik, "sample": sk},
         jnp.zeros((1, dataset.patch_size, dataset.patch_size, 1)),
     )

@@ -30,6 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from livae_tpu.losses import rvae_loss, vae_loss  # noqa: E402
 from livae_tpu.models.rvae import RVAE  # noqa: E402
 from livae_tpu.models.vae import VAE  # noqa: E402
+from livae_tpu.models import init_params  # noqa: E402
 
 
 def count_params(params) -> int:
@@ -85,8 +86,8 @@ def main():
     print("=" * 60)
     vae = VAE(latent_dim=L, patch_size=P)
     rvae = RVAE(latent_dim=L, patch_size=P)
-    vp = vae.init({"params": jax.random.key(0), "sample": jax.random.key(1)}, x[:1])
-    rp = rvae.init({"params": jax.random.key(0), "sample": jax.random.key(1)}, x[:1])
+    vp = init_params(vae, {"params": jax.random.key(0), "sample": jax.random.key(1)}, x[:1])
+    rp = rinit_params(vae, {"params": jax.random.key(0), "sample": jax.random.key(1)}, x[:1])
     nv, nr = count_params(vp), count_params(rp)
     print(f"  VAE : {nv / 1e6:.2f}M params")
     print(f"  rVAE: {nr / 1e6:.2f}M params (+{(nr - nv) / 1e3:.0f}K for the STN)")

@@ -28,6 +28,7 @@ from _common import (
 from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset, default_transform
 from livae_tpu.losses import cycle_consistency_loss
 from livae_tpu.models.rvae import RVAE
+from livae_tpu.models import init_params
 from livae_tpu.train.engine import MetricLogger, _clip_by_global_norm
 from livae_tpu.train.state import TrainState
 from livae_tpu.utils.checkpoint import params_to_torch_state, save_checkpoint, stn_spec
@@ -46,7 +47,7 @@ def run_pretrain(args) -> dict:
     model = RVAE(latent_dim=args.latent_dim, patch_size=args.patch_size)
     key = jax.random.key(args.seed)
     key, ik, sk = jax.random.split(key, 3)
-    params = model.init(
+    params = init_params(model, 
         {"params": ik, "sample": sk},
         jnp.zeros((1, args.patch_size, args.patch_size, 1)),
     )

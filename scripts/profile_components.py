@@ -41,6 +41,7 @@ def main(args):
     from livae_tpu.data.synthetic import synthetic_mos2_frame
     from livae_tpu.losses import rvae_loss
     from livae_tpu.models.rvae import RVAE
+    from livae_tpu.models import init_params
     from livae_tpu.ops.resample import rotate_image_fast
     from livae_tpu.train.state import TrainState, make_optimizer
     import optax
@@ -63,7 +64,7 @@ def main(args):
 
     model = RVAE(latent_dim=args.latent_dim, patch_size=P, compute_dtype="bfloat16")
     key = jax.random.key(0)
-    params = model.init(
+    params = init_params(model, 
         {"params": jax.random.key(1), "sample": jax.random.key(2)},
         jnp.zeros((1, P, P, 1)),
     )

@@ -67,6 +67,7 @@ def main(args):
     from livae_tpu.data.synthetic import synthetic_mos2_frame
     from livae_tpu.losses import rvae_loss
     from livae_tpu.models.rvae import RVAE
+    from livae_tpu.models import init_params
 
     P, B = args.patch, args.batch
     padding = args.padding
@@ -86,7 +87,7 @@ def main(args):
     cfg = AugmentConfig()
 
     model = RVAE(latent_dim=args.latent_dim, patch_size=P, compute_dtype="bfloat16")
-    params = model.init(
+    params = init_params(model, 
         {"params": jax.random.key(1), "sample": jax.random.key(2)},
         jnp.zeros((1, P, P, 1)),
     )

@@ -32,6 +32,7 @@ from _common import _vis_forward, add_data_flags, resolve_images, split_indices
 
 from livae_tpu.data.datasets import PairedAdaptiveLatticeDataset, default_transform
 from livae_tpu.models.rvae import RVAE
+from livae_tpu.models import init_params
 from livae_tpu.parallel.mesh import setup_mesh_from_flags
 from livae_tpu.train.engine import (
     MetricLogger,
@@ -112,7 +113,7 @@ def _run_training(args, _mesh_scope) -> dict:
     init_stream, train_stream, vis_stream = jax.random.split(root, 3)
     init_key, sample_key = jax.random.split(init_stream)
     x0 = jnp.zeros((1, args.patch_size, args.patch_size, 1))
-    params = model.init({"params": init_key, "sample": sample_key}, x0)
+    params = init_params(model, {"params": init_key, "sample": sample_key}, x0)
     n_params = sum(int(p.size) for p in jax.tree.leaves(params))
     print(f"RVAE: {n_params / 1e6:.2f}M parameters")
 

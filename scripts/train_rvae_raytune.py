@@ -45,6 +45,7 @@ from _common import add_data_flags, resolve_images, split_indices
 
 from livae_tpu.data.datasets import AdaptiveLatticeDataset, default_transform
 from livae_tpu.models.rvae import RVAE
+from livae_tpu.models import init_params
 from livae_tpu.sweep import (
     ASHAScheduler,
     PBTScheduler,
@@ -136,7 +137,7 @@ def _trial_body(config, report, dataset, compiled, ckpt_path, trial_seed,
 
     key = jax.random.key(trial_seed)
     key, ik, sk = jax.random.split(key, 3)
-    params = model.init(
+    params = init_params(model, 
         {"params": ik, "sample": sk},
         jnp.zeros((1, patch_size, patch_size, 1)),
     )
@@ -346,7 +347,7 @@ def make_stacked_trainable(args, images):
         for tid in trial_ids:
             key, ik, sk = jax.random.split(jax.random.key(tid), 3)
             lane_keys.append(key)
-            params = model.init(
+            params = init_params(model, 
                 {"params": ik, "sample": sk},
                 jnp.zeros((1, patch_size, patch_size, 1)),
             )

@@ -23,6 +23,7 @@ from _common import _vis_forward, add_data_flags, resolve_images, split_indices
 
 from livae_tpu.data.datasets import AdaptiveLatticeDataset, default_transform
 from livae_tpu.models.vae import VAE
+from livae_tpu.models import init_params
 from livae_tpu.parallel.mesh import setup_mesh_from_flags
 from livae_tpu.train.engine import (
     MetricLogger,
@@ -69,7 +70,7 @@ def _run_training(args, _mesh_scope) -> dict:
     root = jax.random.key(args.seed)
     init_stream, train_stream, vis_stream = jax.random.split(root, 3)
     init_key, sample_key = jax.random.split(init_stream)
-    params = model.init(
+    params = init_params(model, 
         {"params": init_key, "sample": sample_key},
         jnp.zeros((1, args.patch_size, args.patch_size, 1)),
     )
