@@ -31,6 +31,7 @@ the relation the reference's cycle-consistency loss assumes
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -216,6 +217,34 @@ def _crop_rois_slice(
     return jax.vmap(one)(img_idx, y0, x0)
 
 
+# Column-tile width of the crop's row gather. 256 = two 128-lane TPU
+# registers; the production padded frames are exact multiples (2048 + 2*128
+# margin = 9 tiles) so the tiling reshape is free.
+_CROP_TILE = 256
+
+
+def _crop_sel_matmul(strip: jax.Array, cols: jax.Array) -> jax.Array:
+    """Contract `strip` [B, roi, W] with the 0/1 selector [j == cols].
+
+    Precision.HIGHEST keeps the f32 contraction exact, so the result is
+    bit-identical to the sliced crop
+    (tests/test_data.py::test_crop_backends_agree). HIGH (nominally bf16x3,
+    whose three exact-product passes would also reconstruct f32 exactly for
+    a 0/1 selector) measured ~2^-15-relative off on the 2026-08 TPU runtime
+    — it no longer runs enough passes — and is no faster here (6.85 vs
+    6.74 us/patch), so exactness costs nothing.
+    """
+    W = strip.shape[2]
+    sel = (cols[:, :, None] == jnp.arange(W, dtype=jnp.int32)).astype(strip.dtype)
+    return jax.lax.dot_general(
+        strip,
+        sel,
+        (((2,), (2,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=strip.dtype,
+    )
+
+
 def _crop_rois_rowgather(
     frames_padded: jax.Array,
     img_idx: jax.Array,
@@ -223,36 +252,48 @@ def _crop_rois_rowgather(
     x0: jax.Array,
     roi: int,
 ) -> jax.Array:
-    """Row-gather + one-hot-matmul backend (TPU).
+    """Row-gather + one-hot-matmul backend.
 
-    vmap'd dynamic_slice lowers on TPU to a SERIAL per-sample
-    dynamic-update-slice loop (scripts/trace_ops.py: occurrences == B per
-    step). Instead: flatten frames to [N*Hp, Wp] and take whole padded
-    rows at img*Hp + y0 + i (a row gather — the fast gather formulation
+    Kept as the LIVAE_CROP_BACKEND=rowgather alternative: on the
+    2026-08-16 TPU runtime, vmap'd dynamic_slice lowered to a SERIAL
+    per-sample dynamic-update-slice loop (scripts/trace_ops.py:
+    occurrences == B per step) and this formulation won; the 2026-08
+    runtime vectorizes the slice, which now wins (see _crop_rois).
+    Formulation: view frames as non-overlapping 256-wide column tiles
+    [N, Hp, K, 256] (a free reshape; right-pad to the tile grid if
+    needed), take the n_tiles adjacent tiles that cover each ROI window
+    at rows img*Hp + y0 + i (a row gather — the fast gather formulation
     on TPU), then crop columns by contracting with the 0/1 matrix
-    [j == x0 + c] on the MXU. Precision.HIGH (bf16x3) reconstructs f32
-    exactly for a 0/1 selector: each f32 operand splits into three bf16
-    terms covering mantissa bits 1-8/9-16/17-24, each product is exact,
-    and the f32 accumulation hi+mid+lo re-rounds to the original value —
-    so the result is bit-identical to the sliced crop
-    (tests/test_data.py::test_crop_backends_agree) at half the passes of
-    HIGHEST.
+    [j == local_col] on the MXU (`_crop_sel_matmul`, bit-identical to the
+    sliced crop). Tiling cuts both the gathered bytes and the selector
+    contraction from the full padded frame width (~2300 at production
+    shapes) to n_tiles*256 (512): ~4.5x less of each. Frames narrower
+    than the covering tile count fall back to whole-row gathers — same
+    math at n_tiles=1 with Wp-wide tiles.
     """
     N, Hp, Wp = frames_padded.shape
-    flat = frames_padded.reshape(N * Hp, Wp)
+    B = img_idx.shape[0]
+    Tw = _CROP_TILE
+    # tiles covering a roi-wide window starting anywhere inside one tile
+    n_tiles = (roi + 2 * Tw - 2) // Tw
+    K = -(-Wp // Tw)
+    if K < n_tiles:
+        # narrow frames: whole padded rows, one Wp-wide "tile"
+        flat = frames_padded.reshape(N * Hp, Wp)
+        rows = img_idx[:, None] * Hp + y0[:, None] + jnp.arange(roi, dtype=jnp.int32)
+        strip = jnp.take(flat, rows, axis=0)  # [B, roi, Wp]
+        return _crop_sel_matmul(strip, x0[:, None] + jnp.arange(roi, dtype=jnp.int32))
+    if Wp != K * Tw:
+        frames_padded = jnp.pad(frames_padded, ((0, 0), (0, 0), (0, K * Tw - Wp)))
+    flat = frames_padded.reshape(N * Hp * K, Tw)
+    k0 = jnp.minimum(x0 // Tw, K - n_tiles)  # [B] leftmost covering tile
     rows = img_idx[:, None] * Hp + y0[:, None] + jnp.arange(roi, dtype=jnp.int32)
-    strip = jnp.take(flat, rows, axis=0)  # [B, roi, Wp]
-    cols = x0[:, None] + jnp.arange(roi, dtype=jnp.int32)  # [B, roi]
-    sel = (cols[:, :, None] == jnp.arange(Wp, dtype=jnp.int32)).astype(
-        frames_padded.dtype
-    )  # [B, roi, Wp]
-    return jax.lax.dot_general(
-        strip,
-        sel,
-        (((2,), (2,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGH,
-        preferred_element_type=frames_padded.dtype,
-    )
+    ridx = rows[:, :, None] * K + (
+        k0[:, None, None] + jnp.arange(n_tiles, dtype=jnp.int32)
+    )  # [B, roi, n_tiles]
+    strip = jnp.take(flat, ridx, axis=0).reshape(B, roi, n_tiles * Tw)
+    cols = x0[:, None] - k0[:, None] * Tw + jnp.arange(roi, dtype=jnp.int32)
+    return _crop_sel_matmul(strip, cols)
 
 
 def _crop_rois(
@@ -269,11 +310,20 @@ def _crop_rois(
     inside each ROI. Both backends assume the pad margin keeps every crop
     in bounds (guaranteed by pad_frames' margin — the reference's
     zero-padding of edge ROIs, src/livae/data.py:506-522).
+
+    Backend choice is runtime-version-sensitive: the 2026-08 TPU runtime
+    vectorizes vmap'd dynamic_slice (which the 2026-08-16 runtime lowered
+    to a SERIAL per-sample loop, motivating the row-gather+matmul
+    formulation), so slice now wins everywhere (scripts/bench_backends.py;
+    in-pipeline crop 8.3 vs 15.6 us/patch, full step 9,495 vs 9,279 p/s).
+    Override with LIVAE_CROP_BACKEND={slice,rowgather} to re-measure after
+    a runtime change.
     """
     y0, x0, ry, rx = _crop_starts(
         cy, cx, roi, margin, padded_shape=frames_padded.shape[1:3]
     )
-    if jax.default_backend() == "tpu":
+    backend = os.environ.get("LIVAE_CROP_BACKEND", "slice")
+    if backend == "rowgather":
         rois = _crop_rois_rowgather(frames_padded, img_idx, y0, x0, roi)
     else:
         rois = _crop_rois_slice(frames_padded, img_idx, y0, x0, roi)

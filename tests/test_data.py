@@ -176,6 +176,41 @@ class TestExtraction:
             np.asarray(b[0]), np.asarray(frames[int(img_idx[0]), :roi])[:, int(x0[0]) : int(x0[0]) + roi]
         )
 
+    def test_crop_backends_agree_tiled(self):
+        """Wide frames take the 256-column-tile gather path (the narrow
+        frames above fall back to whole-row gathers): still bit-exact vs
+        dynamic_slice, including windows straddling a tile boundary, at
+        the right edge (k0 clamped to K - n_tiles), and on a width that
+        is NOT a multiple of the tile (right-pad branch)."""
+        from livae_tpu.data.pipeline import (
+            _CROP_TILE,
+            _crop_rois_rowgather,
+            _crop_rois_slice,
+            _crop_starts,
+        )
+
+        rng = np.random.default_rng(7)
+        N, H, roi, margin = 2, 96, 48, 30
+        for W in (2 * _CROP_TILE - 2 * margin, 600):  # exact grid / pad branch
+            Wp = W + 2 * margin
+            frames = jnp.asarray(
+                rng.random((N, H + 2 * margin, Wp), dtype=np.float32)
+            )
+            B = 12
+            img_idx = jnp.asarray(rng.integers(0, N, B), jnp.int32)
+            cy = jnp.asarray(rng.uniform(roi / 2, H - roi / 2, B).astype(np.float32))
+            cx = jnp.asarray(rng.uniform(roi / 2, W - roi / 2, B).astype(np.float32))
+            # pin a tile-straddling window and both edges
+            cx = cx.at[0].set(_CROP_TILE - margin - 1.0)  # straddles tile 0/1
+            cx = cx.at[1].set(float(roi) / 2)  # left edge
+            cx = cx.at[2].set(W - float(roi) / 2)  # right edge (k0 clamp)
+            y0, x0, _, _ = _crop_starts(
+                cy, cx, roi, margin, padded_shape=frames.shape[1:3]
+            )
+            a = _crop_rois_slice(frames, img_idx, y0, x0, roi)
+            b = _crop_rois_rowgather(frames, img_idx, y0, x0, roi)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_normalization(self):
         frame = np.random.default_rng(0).random((128, 128)).astype(np.float32) * 7 + 3
         fp = pad_frames(jnp.asarray(frame)[None], 64)
