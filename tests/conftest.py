@@ -8,6 +8,12 @@ hardware while exercising the same pjit/Mesh code paths the driver dry-runs.
 
 import os
 
+# CPU-backend runs skip the persistent XLA compilation cache: XLA's CPU AOT
+# loader warns (and may SIGILL) when reloading executables whose recorded
+# machine features don't match the executing host. Must precede livae_tpu
+# import; a user-exported LIVAE_JAX_CACHE still wins.
+os.environ.setdefault("LIVAE_JAX_CACHE", "0")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
